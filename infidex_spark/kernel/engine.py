@@ -1,0 +1,365 @@
+"""Single-process reference engine: the golden oracle for every
+distributed component.
+
+Replicates the observable semantics of the reference's BM25 stage
+(Stage 1) end to end:
+
+- index build: VectorModel.IndexDocument + BuildInvertedLists
+  (/root/reference/src/Infidex/Indexing/VectorModel.cs:73-220), including
+  the df/tf bookkeeping of Term.FirstCycleAdd (Term.cs:71-146) and the
+  positional prefix index (ShortQuery/PositionalPrefixIndex.cs:55-146);
+- query: VectorModel.SearchWithMaxScore (VectorModel.cs:376-602) —
+  search tokenization, term stats, LD1 fuzzy expansion of unknown tokens
+  >= 4 chars (VectorModel.cs:643-743), tiered candidate selection
+  (Scoring/TieredCandidateSelector.cs:53-237), exact BM25+ scoring in
+  float32 (Indexing/Bm25Scorer.cs), and top-k ordered by
+  (score desc, doc_key asc) (Core/ScoreEntry.cs:24-36, tiebreaker 0 at
+  this stage).
+
+Determinism note: the reference's WAND pruning is lossless, so its top-k
+*set and scores* equal exact scoring of the candidate set; only at exact
+float ties on the k-th boundary can its heap order differ from our
+deterministic (score desc, key asc) rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from infidex_spark.kernel.bm25 import compute_idf, term_max_score, term_score
+from infidex_spark.kernel.normalize import normalize
+from infidex_spark.kernel.tokenize import (
+    DEFAULT_INDEX_SIZES,
+    DEFAULT_START_PAD,
+    DEFAULT_STOP_PAD,
+    index_tokens,
+    search_tokens,
+    word_tokens,
+)
+
+DEFAULT_FIELD_WEIGHT = 1.25  # Weight.Med (Field.cs:34, ConfigurationParameters.cs:16)
+DEFAULT_STOP_TERM_LIMIT = 1_250_000
+
+
+@dataclass
+class _TermState:
+    ordinal: int
+    df: int = 0  # -1 = stop term
+    doc_ids: list = field(default_factory=list)
+    weights: list = field(default_factory=list)
+
+
+def levenshtein_le1(a: str, b: str) -> bool:
+    """True iff plain Levenshtein distance (ins/del/sub; no transposition,
+    matching the reference's Myers bit-parallel matcher,
+    Fst/FstIndex.cs:202-360) between a and b is <= 1."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return diff <= 1
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # b is longer by 1: check a == b with one char deleted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
+class KernelIndex:
+    """In-memory reference index over (doc_key, text) pairs."""
+
+    def __init__(
+        self,
+        field_weight: float = DEFAULT_FIELD_WEIGHT,
+        stop_term_limit: int = DEFAULT_STOP_TERM_LIMIT,
+        index_sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
+        start_pad: int = DEFAULT_START_PAD,
+        stop_pad: int = DEFAULT_STOP_PAD,
+    ):
+        self.field_weight = float(np.float32(field_weight))
+        self.stop_term_limit = stop_term_limit
+        self.index_sizes = index_sizes
+        self.start_pad = start_pad
+        self.stop_pad = stop_pad
+        self.terms: dict[str, _TermState] = {}
+        self.doc_keys: list[int] = []
+        self.prefix_index: dict[str, set[int]] = {}
+        self.doc_lengths: np.ndarray | None = None
+        self.avgdl: float = 0.0
+
+    # ------------------------------------------------------------------ build
+
+    def index_documents(self, docs: list[tuple[int, str]]) -> None:
+        for key, text in docs:
+            self._index_one(key, text)
+        self._build_doc_lengths()
+
+    def _index_one(self, key: int, text: str) -> None:
+        doc_id = len(self.doc_keys)
+        self.doc_keys.append(key)
+        prepped = normalize(text).lower()
+        for term_text, _pos in index_tokens(
+            prepped, self.index_sizes, self.start_pad, self.stop_pad
+        ):
+            self._add_token(term_text, doc_id)
+        self._index_prefixes(prepped, doc_id)
+
+    def _add_token(self, term_text: str, doc_id: int) -> None:
+        st = self.terms.get(term_text)
+        if st is None:
+            st = _TermState(ordinal=len(self.terms))
+            self.terms[term_text] = st
+        # TermCollection.CountTermUsage -> IncrementTermUsageCounter
+        if st.df != -1:
+            st.df += 1
+            if st.df > self.stop_term_limit:
+                st.df = -1
+        # Term.FirstCycleAdd
+        if st.df < 0:
+            return
+        if len(st.weights) < self.stop_term_limit:
+            if not st.doc_ids or st.doc_ids[-1] != doc_id:
+                initial = min(float(np.rint(self.field_weight)), 255.0)
+                st.weights.append(int(initial))
+                st.doc_ids.append(doc_id)
+            else:
+                new_weight = st.weights[-1] + self.field_weight
+                if new_weight <= 255.0:
+                    st.weights[-1] = int(np.rint(new_weight))
+                    st.df -= 1
+        else:
+            st.df = -1
+            st.doc_ids.clear()
+            st.weights.clear()
+
+    def _index_prefixes(self, prepped: str, doc_id: int) -> None:
+        # PositionalPrefixIndex.IndexDocument: token prefixes of length 1..3
+        for tok in word_tokens(prepped, min_size=1):
+            for plen in range(1, min(len(tok), 3) + 1):
+                self.prefix_index.setdefault(tok[:plen], set()).add(doc_id)
+
+    def _build_doc_lengths(self) -> None:
+        n = len(self.doc_keys)
+        dl = np.zeros(n, dtype=np.float32)
+        for st in self.terms.values():
+            if st.df <= 0:
+                continue
+            for d, w in zip(st.doc_ids, st.weights):
+                dl[d] += np.float32(w)
+        self.doc_lengths = dl
+        self.avgdl = float(dl.sum(dtype=np.float32) / np.float32(n)) if n else 0.0
+
+    # ------------------------------------------------------------------ query
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_key, bm25_score) for the query, rank-identical to the
+        reference's Stage-1 SearchWithMaxScore output."""
+        q = normalize(query.strip()).lower()
+        if not q:
+            return []
+        total_docs = len(self.doc_keys)
+        if total_docs == 0:
+            return []
+        stats = self._query_stats(q)
+        self._fuzzy_expand(stats)
+
+        avgdl = np.float32(self.avgdl if self.avgdl > 0 else 1.0)
+        active: list[dict] = []
+        for s in stats:
+            df = s["df"]
+            if df <= 0 or df > self.stop_term_limit:
+                continue
+            idf = compute_idf(total_docs, df)
+            active.append(
+                {
+                    "df": df,
+                    "idf": idf,
+                    "max_score": term_max_score(idf, avgdl),
+                    "postings": s["postings"],  # dict doc_id -> tf (float)
+                }
+            )
+
+        if not active:
+            return []
+
+        candidates = self._select_candidates(active, k, q)
+        if not candidates:
+            # reference full-scan fallback == disjunctive over all postings
+            candidates = set()
+            for t in active:
+                candidates.update(t["postings"].keys())
+            if not candidates:
+                return []
+
+        cand = np.fromiter(candidates, dtype=np.int64)
+        cand.sort()
+        dl = self.doc_lengths[cand].astype(np.float32)
+        dl = np.where(dl <= 0, np.float32(1.0), dl)
+        scores = np.zeros(len(cand), dtype=np.float32)
+        for t in active:  # accumulate in stats order, float32 (as reference)
+            post = t["postings"]
+            tf = np.fromiter(
+                (post.get(int(d), 0.0) for d in cand), dtype=np.float32, count=len(cand)
+            )
+            mask = tf > 0
+            if mask.any():
+                scores[mask] += term_score(tf[mask], dl[mask], avgdl, t["idf"])
+
+        hit = scores > 0
+        keys = np.asarray(self.doc_keys, dtype=np.int64)[cand[hit]]
+        sc = scores[hit]
+        order = np.lexsort((keys, -sc))[:k]
+        return [(int(keys[i]), float(sc[i])) for i in order]
+
+    def _query_stats(self, q: str) -> list[dict]:
+        """Tokenize the query and fold duplicates into per-term stats,
+        ordered like the reference (sort by term ordinal, unknown-by-text
+        first; VectorModel.cs:355-364,432-487)."""
+        raw = []
+        for tok in search_tokens(q, self.index_sizes, self.start_pad, self.stop_pad):
+            st = self.terms.get(tok)
+            if st is not None:
+                raw.append((st.ordinal, None, tok))
+            else:
+                raw.append((-1, tok, tok))
+        raw.sort(key=lambda r: (r[0], r[1] or ""))
+        stats: list[dict] = []
+        for ordinal, text, tok in raw:
+            if stats and (
+                (ordinal >= 0 and stats[-1]["ordinal"] == ordinal)
+                or (ordinal < 0 and stats[-1]["text"] == text)
+            ):
+                stats[-1]["qocc"] = min(stats[-1]["qocc"] + 1, 255)
+                continue
+            st = self.terms.get(tok)
+            postings: dict[int, float] = {}
+            df = 0
+            if st is not None:
+                df = st.df
+                if st.df > 0:
+                    postings = dict(zip(st.doc_ids, (float(w) for w in st.weights)))
+            stats.append(
+                {
+                    "ordinal": ordinal,
+                    "text": text,
+                    "token": tok,
+                    "df": df,
+                    "qocc": 1,
+                    "postings": postings,
+                    "fuzzy": False,
+                }
+            )
+        return stats
+
+    def _fuzzy_expand(self, stats: list[dict]) -> None:
+        """LD1 expansion of unknown tokens >= 4 chars into a virtual term
+        (union of matching terms' postings, tf fixed at 1;
+        VectorModel.cs:498-507,643-743)."""
+        for s in stats:
+            if s["df"] != 0 or s["text"] is None or len(s["text"]) < 4:
+                continue
+            text = s["text"]
+            union: set[int] = set()
+            for term_text, st in self.terms.items():
+                if st.df <= 0:
+                    continue
+                if levenshtein_le1(text, term_text):
+                    union.update(st.doc_ids)
+            if union:
+                s["df"] = len(union)
+                s["postings"] = {d: 1.0 for d in union}
+                s["fuzzy"] = True
+
+    # --------------------------------------------------- candidate selection
+
+    def _select_candidates(self, active: list[dict], topk: int, q: str) -> set[int]:
+        """Port of TieredCandidateSelector.SelectCandidates semantics
+        (Scoring/TieredCandidateSelector.cs:53-237). ``active`` contains
+        only live terms (df>0), matching what the reference passes in."""
+        # Prefix precedence (TrySelectPrefixCandidates, :455-532)
+        prefix_cands = self._prefix_candidates(q, topk)
+        if prefix_cands and len(prefix_cands) >= min(topk * 2, 100):
+            return set(prefix_cands)
+
+        max_idf = max(np.float32(t["idf"]) for t in active)
+        has_typo = any(t["df"] < 10 for t in active)
+
+        if has_typo or len(active) == 1:
+            return self._disjunctive(active, topk, max_idf)
+
+        terms = sorted(
+            range(len(active)), key=lambda i: (-active[i]["idf"], i)
+        )  # idf desc
+        ordered = [active[i] for i in terms]
+        global_c: set[int] = set()
+
+        if len(ordered) >= 2:  # Tier 0: full AND
+            global_c |= self._intersect(ordered)
+            if len(global_c) >= topk * 2:
+                return global_c
+
+        if len(ordered) >= 3 and len(global_c) < topk * 3:  # Tier 1: n-1 terms
+            global_c |= self._intersect(ordered[:-1])
+
+        if len(global_c) < topk * 5:  # Tier 2: up to 2 selective single terms
+            cutoff = max_idf * np.float32(0.3)
+            selective = []
+            for t in ordered:
+                if t["idf"] <= 0 or t["idf"] < cutoff:
+                    continue
+                selective.append(t)
+                if len(selective) == min(2, len(ordered)):
+                    break
+            for t in selective:
+                global_c.update(t["postings"].keys())
+                if len(global_c) >= topk * 10:
+                    break
+        return global_c
+
+    def _prefix_candidates(self, q: str, topk: int) -> set[int]:
+        for plen in range(min(len(q), 3), 0, -1):
+            docs = self.prefix_index.get(q[:plen])
+            if not docs:
+                continue
+            pop = len(docs)
+            if pop > topk * 20:
+                continue
+            if pop <= topk * 10:
+                return docs
+        return set()
+
+    @staticmethod
+    def _disjunctive(active: list[dict], topk: int, max_idf) -> set[int]:
+        ordered = sorted(range(len(active)), key=lambda i: (-active[i]["idf"], i))
+        result: set[int] = set()
+        has_selective = False
+        low_cutoff = max_idf * np.float32(0.2)
+        for i in ordered:
+            t = active[i]
+            low_quality = t["idf"] < low_cutoff
+            if len(active) > 1 and low_quality and has_selective:
+                continue
+            docs = t["postings"].keys()
+            if not docs:
+                continue
+            result.update(docs)
+            if not low_quality and result:
+                has_selective = True
+            if len(result) >= topk * 100:
+                break
+        return result
+
+    @staticmethod
+    def _intersect(terms: list[dict]) -> set[int]:
+        sets = sorted((set(t["postings"].keys()) for t in terms), key=len)
+        out = sets[0]
+        for s in sets[1:]:
+            out = out & s
+            if not out:
+                break
+        return out
