@@ -1,0 +1,129 @@
+"""Posting-list payload codec: delta + varint docIDs, uint8 weights,
+fixed-size blocks with per-block max-weight metadata for block-max WAND.
+
+The reference stores postings in variable-size blocks with per-block
+minDoc/maxDoc/offset/maxWeight (Segments/BlockPostingsWriter.cs:7-160) and
+Group-VarInt compression (Compression/GroupVarInt.cs). Our format is
+self-consistent rather than byte-compatible (the reference format is an
+internal detail): plain LEB128 varints over gap-encoded docIDs, fixed
+128-doc blocks, parallel metadata arrays. Encoding and decoding are
+numpy-vectorized — no per-element Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized.
+
+    Each value emits ceil(bits/7) bytes; we compute per-value byte counts,
+    scatter the 7-bit groups into a flat buffer, and set continuation bits.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes per value = ceil(bitlength/7), min 1; bitlength via shift loop
+    # (at most 10 iterations of whole-array ops — still vectorized)
+    tmp = v >> np.uint64(7)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+        tmp = tmp >> np.uint64(7)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(nbytes)
+    starts = ends - nbytes
+    # scatter 7-bit groups; max 10 groups for 64-bit
+    max_groups = int(nbytes.max())
+    for g in range(max_groups):
+        sel = nbytes > g
+        idx = starts[sel] + g
+        chunk = (v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1 > g).astype(np.uint8) << 7
+        out[idx] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def decode_varints(buf: bytes, count: int) -> np.ndarray:
+    """Decode `count` LEB128 varints from buf. Vectorized: classifies bytes
+    by continuation bit, assigns group positions by cumulative counting."""
+    if count == 0:
+        return np.zeros(0, dtype=np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    is_end = (raw & 0x80) == 0
+    value_id = np.zeros(raw.shape, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_end)[:-1]
+    if int(is_end.sum()) < count:
+        raise ValueError("truncated varint stream")
+    # position of each byte within its value
+    starts = np.zeros(raw.shape, dtype=np.int64)
+    ends_idx = np.flatnonzero(is_end)
+    value_start = np.concatenate(([0], ends_idx[:-1] + 1))
+    pos_in_value = np.arange(raw.size) - value_start[value_id]
+    out = np.zeros(count, dtype=np.uint64)
+    np.add.at(
+        out,
+        value_id,
+        (raw & np.uint8(0x7F)).astype(np.uint64) << (7 * pos_in_value).astype(np.uint64),
+    )
+    return out
+
+
+def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> dict:
+    """Encode one term's postings (sorted unique doc_ids + uint8 weights).
+
+    Returns dict with:
+      payload        : bytes — varint gaps (first value absolute)
+      weights        : bytes — raw uint8 per posting
+      block_last_doc : int64[] — last docID of each 128-doc block
+      block_max_w    : int64[] — max weight within each block
+      block_counts   : int64[] — postings per block (last may be short)
+    """
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.uint8)
+    assert doc_ids.ndim == 1 and doc_ids.shape == weights.shape
+    if doc_ids.size and (np.diff(doc_ids) <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing")
+    gaps = np.empty_like(doc_ids)
+    if doc_ids.size:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    n = doc_ids.size
+    nblocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+    pad = nblocks * BLOCK_SIZE - n
+    if pad and n:
+        w_padded = np.concatenate([weights, np.zeros(pad, dtype=np.uint8)])
+        d_padded = np.concatenate([doc_ids, np.repeat(doc_ids[-1], pad)])
+    else:
+        w_padded, d_padded = weights, doc_ids
+    if n:
+        block_max_w = w_padded.reshape(nblocks, BLOCK_SIZE).max(axis=1).astype(np.int64)
+        block_last = d_padded.reshape(nblocks, BLOCK_SIZE)[:, -1].astype(np.int64)
+        counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
+        counts[-1] = n - (nblocks - 1) * BLOCK_SIZE
+    else:
+        block_max_w = np.zeros(0, dtype=np.int64)
+        block_last = np.zeros(0, dtype=np.int64)
+        counts = np.zeros(0, dtype=np.int64)
+    return {
+        "payload": encode_varints(gaps.astype(np.uint64)),
+        "weights": weights.tobytes(),
+        "block_last_doc": block_last,
+        "block_max_w": block_max_w,
+        "block_counts": counts,
+    }
+
+
+def decode_postings(payload: bytes, weights: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_postings: (doc_ids int64[], weights uint8[])."""
+    gaps = decode_varints(payload, n).astype(np.int64)
+    doc_ids = np.cumsum(gaps)
+    w = np.frombuffer(weights, dtype=np.uint8)[:n]
+    return doc_ids, w

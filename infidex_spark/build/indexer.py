@@ -1,0 +1,390 @@
+"""Distributed inverted-index build.
+
+Dataflow (all shuffles explicit, skew handled by salted two-stage agg):
+
+  docs(doc_id, text)
+    -[mapInPandas: vectorized tokenize+count]-> tokens(doc_id, term, occ)
+    tokens += tf (byte-saturated), dfc (df contribution)      [pure SQL]
+    term_df   = tokens groupBy(term) sum(dfc)                  [shuffle 1]
+    stop set  = term_df where df > stop_term_limit             (broadcast)
+    live      = tokens anti-join stop set                      (broadcast join, no shuffle)
+    doc_stats = live groupBy(doc_id) sum(tf)                   [shuffle 2]
+    postings  = live groupBy(term, salt) partial sorted lists  [shuffle 3, salted]
+                -> groupBy(term) merge + encode payload        [shuffle 4, <=SALTS rows/term]
+    writes: postings/ (parquet, partitioned by term bucket, sorted by term),
+            doc_stats/, prefixes/, variants/, MANIFEST.json,
+            checkpoints/ (per-bucket lineage + metrics rows)
+
+Scale notes (10^12 docs):
+- tokens are pre-aggregated per doc inside the Arrow batch, so shuffle 1/3
+  carry one row per (doc, unique term), not per token occurrence;
+- hot 3-grams are Zipfian: the salted partial agg bounds any single task's
+  input to ~|postings|/SALTS, and the final merge task sees at most SALTS
+  pre-sorted arrays per term (stop-term pruning caps list length at
+  stop_term_limit anyway);
+- bucket partitioning on xxhash64(term) + sortWithinPartitions(term) gives
+  the query path partition pruning + parquet min/max row-group skipping.
+
+Checkpoint/resume: postings are written one bucket-group at a time; each
+completed group appends per-bucket checkpoint rows (lineage: input
+fingerprint, counts, bytes, docs/sec). A re-run with resume=True skips
+completed buckets — the tokens materialization makes the retry cheap.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from infidex_spark.build.codec import encode_postings
+from infidex_spark.build.tokenizer import tokenize_batch
+from infidex_spark.kernel.engine import DEFAULT_FIELD_WEIGHT, DEFAULT_STOP_TERM_LIMIT
+from infidex_spark.kernel.tokenize import DEFAULT_INDEX_SIZES, DEFAULT_START_PAD
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("occ", T.LongType(), False),
+    ]
+)
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("weights", T.BinaryType(), False),
+        T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
+        T.StructField("block_max_w", T.ArrayType(T.IntegerType()), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+
+def _tf_cap(field_weight: float) -> int:
+    """Byte saturation cap for a constant field weight (see
+    kernel.bm25.tf_df_fast): floor(255 - w) + 1."""
+    return int(math.floor(255.0 - field_weight)) + 1
+
+
+def tokenize_docs(
+    docs: DataFrame,
+    sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
+    start_pad: int = DEFAULT_START_PAD,
+) -> DataFrame:
+    """docs(doc_id, text) -> tokens(doc_id, term, occ), Arrow-vectorized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = tokenize_batch(pdf["text"], sizes=sizes, start_pad=start_pad)
+            counts["doc_id"] = pdf["doc_id"].to_numpy()[counts["doc_idx"].to_numpy()]
+            yield counts[["doc_id", "term", "occ"]]
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=TOKENS_SCHEMA)
+
+
+def _encode_partition(n_buckets: int):
+    """mapInPandas encoder: (term, df, postings array rows) -> index rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "term", "df", "n_docs", "max_tf", "payload", "weights",
+                "block_last_doc", "block_max_w", "bucket",
+            )}
+            for r in pdf.itertuples(index=False):
+                # parallel arrays arrive pre-sorted by doc_id (array_sort)
+                doc_ids = np.asarray(r.doc_ids, dtype=np.int64)
+                tfs = np.asarray(r.tfs, dtype=np.int64)
+                enc = encode_postings(doc_ids, tfs.astype(np.uint8))
+                rows["term"].append(r.term)
+                rows["df"].append(int(r.df))
+                rows["n_docs"].append(int(doc_ids.size))
+                rows["max_tf"].append(int(tfs.max()) if tfs.size else 0)
+                rows["payload"].append(enc["payload"])
+                rows["weights"].append(enc["weights"])
+                rows["block_last_doc"].append(enc["block_last_doc"].tolist())
+                rows["block_max_w"].append(enc["block_max_w"].tolist())
+                rows["bucket"].append(int(r.bucket))
+            yield pd.DataFrame(rows)
+
+    return run
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 32,
+    salts: int = 8,
+    bucket_groups: int = 1,
+    stop_term_limit: int = DEFAULT_STOP_TERM_LIMIT,
+    field_weight: float = DEFAULT_FIELD_WEIGHT,
+    sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
+    start_pad: int = DEFAULT_START_PAD,
+    max_prefix_docs: int = 100_000,
+    resume: bool = False,
+    keep_tokens: bool = False,
+) -> dict:
+    """Build the full index under out_dir. Returns the manifest dict.
+
+    docs must have columns (doc_id LONG dense 0..N-1, text STRING) and may
+    carry doc_key LONG (defaults to doc_id).
+    """
+    t0 = time.time()
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+    done_buckets: set[int] = set()
+    if resume and os.path.isdir(ckpt_dir):
+        try:
+            prev = spark.read.parquet(ckpt_dir)
+            done_buckets = {r.bucket for r in prev.select("bucket").collect()}
+        except Exception:
+            done_buckets = set()
+    elif os.path.isdir(out_dir) and not resume:
+        for sub in ("postings", "doc_stats", "prefixes", "variants", "checkpoints", "tokens", "doc_keys"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+
+    if "doc_key" not in docs.columns:
+        docs = docs.withColumn("doc_key", F.col("doc_id"))
+
+    cap = _tf_cap(field_weight)
+    tokens_path = os.path.join(out_dir, "tokens")
+    if not (resume and os.path.isdir(tokens_path)):
+        tokens = tokenize_docs(docs, sizes, start_pad).withColumn(
+            "tf", F.least(F.col("occ"), F.lit(cap))
+        )
+        # df contribution per (term, doc): occ - successful accumulates
+        tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
+        tokens.write.mode("overwrite").parquet(tokens_path)
+    tokens = spark.read.parquet(tokens_path)
+
+    # ---- term df + stop-term pruning (shuffle 1; partial agg map-side)
+    term_df = tokens.groupBy("term").agg(F.sum("dfc").alias("df"))
+    stop_terms = term_df.filter(F.col("df") > stop_term_limit).select("term")
+    # the stop set is the Zipf head only — small by construction -> broadcast
+    stop_terms.write.mode("overwrite").parquet(os.path.join(out_dir, "stop_terms"))
+    stop_terms = spark.read.parquet(os.path.join(out_dir, "stop_terms"))
+    n_stop = stop_terms.count()
+    stop_sample = [r.term for r in stop_terms.limit(100).collect()]
+    live = tokens.join(F.broadcast(stop_terms), "term", "left_anti")
+
+    # ---- doc stats (shuffle 2)
+    n_docs_total = docs.count()
+    dl_df = live.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    doc_stats = (
+        docs.select("doc_id", "doc_key")
+        .join(dl_df, "doc_id", "left")
+        .fillna({"dl": 0})
+        .select("doc_id", "doc_key", F.col("dl").cast("double"))
+    )
+    doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+    doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+    sum_dl = doc_stats.agg(F.sum("dl")).collect()[0][0] or 0.0
+    avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
+
+    # ---- postings: salted two-stage agg + encode (shuffles 3+4)
+    salted = live.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts)).cast("int"))
+    partial = salted.groupBy("term", "salt").agg(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("part"),
+        F.sum("dfc").alias("pdf"),
+    )
+    merged = (
+        partial.groupBy("term")
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("part"))).alias("postings"),
+            F.sum("pdf").alias("df"),
+        )
+        .select(
+            "term",
+            "df",
+            F.transform("postings", lambda x: x["doc_id"]).alias("doc_ids"),
+            F.transform("postings", lambda x: x["tf"]).alias("tfs"),
+        )
+        # crc32 (not xxhash64): the query driver computes the same bucket in
+        # pure Python (zlib.crc32) for partition pruning on point lookups
+        .withColumn("bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"))
+    )
+
+    postings_path = os.path.join(out_dir, "postings")
+    group_size = max(1, n_buckets // max(1, bucket_groups))
+    groups = [
+        list(range(g, min(g + group_size, n_buckets)))
+        for g in range(0, n_buckets, group_size)
+    ]
+    bucket_metrics = []
+    for group in groups:
+        todo = [b for b in group if b not in done_buckets]
+        if not todo:
+            continue
+        g0 = time.time()
+        part_df = (
+            merged.filter(F.col("bucket").isin(todo))
+            .repartition(max(len(todo), 1), "bucket")
+            .sortWithinPartitions("term")
+            .mapInPandas(_encode_partition(n_buckets), schema=POSTINGS_SCHEMA)
+        )
+        # non-resume runs cleared the dir up front, so append is always safe
+        part_df.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        stats = (
+            spark.read.parquet(postings_path)
+            .filter(F.col("bucket").isin(todo))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("n_terms"),
+                F.sum("n_docs").alias("n_postings"),
+                F.sum(F.length("payload") + F.length("weights")).alias("bytes_compressed"),
+            )
+        )
+        elapsed = time.time() - g0
+        ck = stats.withColumn("wall_sec", F.lit(elapsed)).withColumn(
+            "input_docs", F.lit(n_docs_total)
+        ).withColumn("completed_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())))
+        ck.write.mode("append").parquet(ckpt_dir)
+        bucket_metrics.append({"buckets": todo, "wall_sec": elapsed})
+        done_buckets.update(todo)
+
+    # ---- prefix postings (for prefix-precedence candidates)
+    _build_prefixes(docs, out_dir, max_prefix_docs)
+
+    # ---- LD1 symmetric-delete variants over the live dictionary
+    _build_variants(spark, os.path.join(out_dir, "postings"), out_dir)
+
+    if not keep_tokens:
+        shutil.rmtree(tokens_path, ignore_errors=True)
+
+    wall = time.time() - t0
+    manifest = {
+        "format_version": 1,
+        "total_docs": int(n_docs_total),
+        "avgdl": avgdl,
+        "sum_dl": float(sum_dl),
+        "field_weight": field_weight,
+        "tf_cap": cap,
+        "stop_term_limit": stop_term_limit,
+        "n_stop_terms": int(n_stop),
+        "stop_terms_sample": stop_sample,
+        "index_sizes": list(sizes),
+        "start_pad": start_pad,
+        "n_buckets": n_buckets,
+        "salts": salts,
+        "max_prefix_docs": max_prefix_docs,
+        "build_wall_sec": wall,
+        "docs_per_sec": (n_docs_total / wall) if wall > 0 else 0.0,
+        "bucket_groups": bucket_metrics,
+        "lineage": {
+            "input_columns": docs.columns,
+            "spark_version": spark.version,
+            "parallelism": spark.sparkContext.defaultParallelism,
+        },
+    }
+    with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+_PREFIX_SCHEMA = T.StructType(
+    [
+        T.StructField("prefix", T.StringType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("doc_ids", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _build_prefixes(docs: DataFrame, out_dir: str, max_prefix_docs: int) -> None:
+    """prefix(1..3 chars of each word) -> distinct doc list.
+
+    Lists longer than max_prefix_docs store only the count (the query-time
+    selector skips any prefix with pop > topk*20 anyway, so hot prefixes
+    never need their doc lists)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _DELIM_SPLIT
+
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+            words = words[words.str.len() >= 1]
+            frames = []
+            for plen in (1, 2, 3):
+                w = words[words.str.len() >= plen]
+                if not len(w):
+                    continue
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": pdf["doc_id"].to_numpy()[w.index.to_numpy()],
+                            "prefix": w.str[:plen].to_numpy(),
+                        }
+                    )
+                )
+            if frames:
+                out = pd.concat(frames, ignore_index=True).drop_duplicates()
+                yield out[["prefix", "doc_id"]]
+
+    pairs_schema = T.StructType(
+        [
+            T.StructField("prefix", T.StringType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+        ]
+    )
+    pairs = docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema)
+    # two-stage so hot prefixes (Zipf head) never funnel their full doc
+    # list through one reducer: count first, collect lists only for
+    # prefixes under the cap (the query-time selector skips hot prefixes
+    # by count alone).
+    counts = pairs.groupBy("prefix").agg(F.countDistinct("doc_id").alias("n_docs"))
+    small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
+    lists = (
+        pairs.join(F.broadcast(small), "prefix", "left_semi")
+        .groupBy("prefix")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+    )
+    final = counts.join(lists, "prefix", "left").select("prefix", "n_docs", "doc_ids")
+    final.write.mode("overwrite").parquet(os.path.join(out_dir, "prefixes"))
+
+
+def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> None:
+    """Symmetric-delete (SymSpell d=1) dictionary over live terms:
+    variant -> [terms]. Query-time LD1 expansion looks up the query token
+    and each of its 1-deletions; union of hits == all terms within plain
+    Levenshtein distance 1 (verified against brute force in tests)."""
+
+    terms = spark.read.parquet(postings_path).select("term")
+
+    def variants(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            t_out, v_out = [], []
+            for term in pdf["term"]:
+                t_out.append(term)
+                v_out.append(term)  # identity variant (distance 0 bucket)
+                for i in range(len(term)):
+                    t_out.append(term)
+                    v_out.append(term[:i] + term[i + 1 :])
+            yield pd.DataFrame({"variant": v_out, "term": t_out})
+
+    schema = T.StructType(
+        [
+            T.StructField("variant", T.StringType(), False),
+            T.StructField("term", T.StringType(), False),
+        ]
+    )
+    vdf = terms.mapInPandas(variants, schema=schema).distinct()
+    out = vdf.groupBy("variant").agg(F.collect_list("term").alias("terms"))
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "variants"))

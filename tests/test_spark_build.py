@@ -1,0 +1,97 @@
+"""End-to-end parity: Spark-built index + query executor must reproduce the
+kernel oracle exactly (same df/tf/dl/avgdl, rank-identical top-k, scores
+equal to float32 round-off)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from infidex_spark.build.indexer import build_index
+from infidex_spark.kernel.engine import KernelIndex
+from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+QUERIES = [
+    "batman",
+    "qick fux",
+    "quick fox",
+    "gotham city",
+    "the",
+    "fox",
+    "redemption shank",
+    "wonder woman protects",
+    "speeding bullet",
+    "zzzz unknown",
+]
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, reference_docs, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "refidx")
+    docs = spark.createDataFrame(
+        [(i, key, text) for i, (key, text) in enumerate(reference_docs)],
+        "doc_id long, doc_key long, text string",
+    )
+    manifest = build_index(spark, docs, out, n_buckets=4, salts=2)
+    return out, manifest
+
+
+def test_manifest_stats_match_kernel(built_index, kernel_index):
+    _, manifest = built_index
+    assert manifest["total_docs"] == 10
+    assert manifest["avgdl"] == pytest.approx(kernel_index.avgdl, rel=1e-6)
+    assert manifest["n_stop_terms"] == 0
+
+
+def test_postings_match_kernel(built_index, kernel_index):
+    out, _ = built_index
+    reader = IndexReader(out)
+    # every live kernel term must round-trip identically
+    live = {t: s for t, s in kernel_index.terms.items() if s.df > 0}
+    fetched = reader.fetch_terms(list(live.keys()))
+    assert set(fetched.keys()) == set(live.keys())
+    for term, st in live.items():
+        tp = fetched[term]
+        assert tp.df == st.df, term
+        assert tp.doc_ids.tolist() == sorted(st.doc_ids), term
+        got_w = dict(zip(tp.doc_ids.tolist(), tp.tfs.astype(int).tolist()))
+        exp_w = dict(zip(st.doc_ids, st.weights))
+        assert got_w == exp_w, term
+
+
+def test_doc_lengths_match_kernel(built_index, kernel_index):
+    out, _ = built_index
+    reader = IndexReader(out)
+    ids = np.arange(10, dtype=np.int64)
+    dl, keys = reader.doc_lengths(ids)
+    assert np.allclose(dl, kernel_index.doc_lengths, rtol=0, atol=0)
+    assert keys.tolist() == kernel_index.doc_keys
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_topk_rank_identical(built_index, kernel_index, query):
+    out, _ = built_index
+    ex = QueryExecutor(IndexReader(out))
+    got = ex.search(query, 10)
+    want = kernel_index.search(query, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], (got, want)
+    np.testing.assert_allclose(
+        [s for _, s in got], [s for _, s in want], rtol=1e-5
+    )
+
+
+def test_resume_skips_done_buckets(spark, reference_docs, tmp_path):
+    out = str(tmp_path / "idx2")
+    docs = spark.createDataFrame(
+        [(i, key, text) for i, (key, text) in enumerate(reference_docs)],
+        "doc_id long, doc_key long, text string",
+    )
+    m1 = build_index(spark, docs, out, n_buckets=4, salts=2, bucket_groups=4)
+    assert len(m1["bucket_groups"]) == 4
+    # resume over a completed build: nothing left to do
+    m2 = build_index(
+        spark, docs, out, n_buckets=4, salts=2, bucket_groups=4, resume=True
+    )
+    assert m2["bucket_groups"] == []
+    ex = QueryExecutor(IndexReader(out))
+    assert ex.search("batman", 3)[0][0] == 6
