@@ -1,0 +1,492 @@
+"""Driver-contract query registry: one entry per implemented operator
+(SURVEY.md §2), each as a (spark, sf_dir) -> DataFrame callable plus,
+where SQL-expressible, a DuckDB oracle producing identical rows.
+
+Cross-engine determinism rules used throughout:
+- only double-precision math, rounded (4-6 dp) at the end;
+- counts cast to LONG on both sides;
+- every LIMIT is preceded by a deterministic total order;
+- hashes are md5 hex (identical strings in Spark and DuckDB).
+
+The n-gram search engine itself (build + BM25 top-k) is exercised both as
+a rows-only entry here (ngram_topk_engine) and — with exact expectations —
+by the pytest golden suite; the *word-level* BM25 entries below are the
+SQL-checkable projections of the same math (same formula, same constants).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+WORK_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_work")
+
+BM25_QUERY_WORDS = ["spark", "query", "join"]
+POSTING_WORDS = ["spark", "join", "window", "hash"]
+NGRAM_QUERY = "spark shuffle window"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _words(docs: DataFrame):
+    """Non-empty lowercase whitespace-split words, exploded with doc_id."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != "")
+        ).alias("term"),
+    )
+
+
+# --------------------------------------------------------------------- search
+# Word-level analogues of the index-build operators (B1-B3) and BM25 (D6),
+# oracle-checked; the n-gram variants are golden-tested in pytest.
+
+
+def q_word_df(spark, sf_dir):
+    """B1: term registration + document-frequency counting."""
+    return (
+        _words(_docs(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+
+
+def q_word_postings(spark, sf_dir):
+    """B2: posting rows (term, doc_id, tf) for a fixed probe word set."""
+    return (
+        _words(_docs(spark, sf_dir))
+        .filter(F.col("term").isin(POSTING_WORDS))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def q_doc_stats_words(spark, sf_dir):
+    """B3: per-document length (token count)."""
+    return (
+        _words(_docs(spark, sf_dir))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("dl"))
+    )
+
+
+def q_word_idf(spark, sf_dir):
+    """D2: BM25 idf = ln((N-df+0.5)/(df+0.5)+1) for the probe words."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    return (
+        _words(docs)
+        .filter(F.col("term").isin(POSTING_WORDS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.round(
+                F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+            ).alias("idf"),
+        )
+    )
+
+
+def q_bm25_word_topk(spark, sf_dir):
+    """D6/D9: full BM25+ (k1=1.2, b=0.75, delta=1) word-level top-10 for a
+    fixed query, double math, deterministic tie-break."""
+    docs = _docs(spark, sf_dir)
+    words = _words(docs)
+    n = docs.count()
+    dl = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    qterms = words.filter(F.col("term").isin(BM25_QUERY_WORDS))
+    tf = qterms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = qterms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf",
+            F.log((F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.lit(float(avgdl))))
+                + 1.0
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return scored
+
+
+def q_ngram_topk_engine(spark, sf_dir):
+    """The real engine: n-gram index build + BM25 top-k (rows-only check;
+    exact golden parity lives in pytest). Index cached per sf_dir."""
+    import json
+
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(WORK_DIR, f"index_{tag}")
+    docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
+    if not os.path.exists(os.path.join(idx_dir, "MANIFEST.json")):
+        build_index(spark, docs, idx_dir, n_buckets=8, salts=4)
+    ex = QueryExecutor(IndexReader(idx_dir))
+    hits = ex.search(NGRAM_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(k), round(float(s), 4), r + 1) for r, (k, s) in enumerate(hits)],
+        "doc_id long, score double, rank int",
+    )
+
+
+# ----------------------------------------------------------------- relational
+
+
+def q_facet_lang_source(spark, sf_dir):
+    """F6: facets over (lang, source), top-100 per field by (n desc, value asc)."""
+    from infidex_spark.functions.postprocess import build_facets
+
+    return build_facets(_docs(spark, sf_dir), ["lang", "source"]).select(
+        "field", "value", F.col("n").cast("long").alias("n")
+    )
+
+
+def q_filter_infiscript(spark, sf_dir):
+    """F1-F3: Infiscript filter DSL compiled to a Catalyst predicate."""
+    from infidex_spark.functions.postprocess import apply_filter
+
+    return apply_filter(
+        _docs(spark, sf_dir),
+        "lang = 'en' AND n_chars >= 300 AND NOT (source CONTAINS '9')",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_filter_infiscript_advanced(spark, sf_dir):
+    """F1: IN / BETWEEN / LIKE / MATCHES / ternary / mixed and-or."""
+    from infidex_spark.functions.postprocess import apply_filter
+
+    expr = (
+        "source IN ('src1', 'src2', 'src3') "
+        "OR (n_chars BETWEEN 100 AND 180 AND lang MATCHES '^(en|es)$') "
+        "OR (lang = 'zh' ? n_chars >= 200 : text LIKE '%window merge%')"
+    )
+    return apply_filter(_docs(spark, sf_dir), expr).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_sort_limit(spark, sf_dir):
+    """F5/F7: field sort + limit with deterministic tie-break."""
+    return (
+        _docs(spark, sf_dir)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .select("doc_id", "n_chars")
+        .limit(20)
+    )
+
+
+def q_boost_sort(spark, sf_dir):
+    """F4: score boosts (+10 lang='en', +5 source ENDS WITH '1') then re-sort."""
+    from infidex_spark.functions.postprocess import apply_boosts
+
+    base = _docs(spark, sf_dir).withColumn(
+        "score", F.col("n_chars").cast("double") / 1000.0
+    )
+    boosted = apply_boosts(
+        base, [("lang = 'en'", 10), ("source ENDS WITH '1'", 5)]
+    )
+    return (
+        boosted.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def q_doc_lookup(spark, sf_dir):
+    """F8: point lookup by document key."""
+    return _docs(spark, sf_dir).filter(F.col("doc_id") == 42).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ------------------------------------------------------------------- pipeline
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups by md5(text)."""
+    from infidex_spark.pipeline.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "text_hash", F.col("n_docs").cast("long").alias("n_docs"), "keeper"
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate candidate pairs (rows-only; validated
+    against brute-force Jaccard in pytest)."""
+    from infidex_spark.pipeline.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=8, bands=4)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash 64-bit signatures (rows-only; determinism tested in pytest)."""
+    from infidex_spark.pipeline.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_token_count(spark, sf_dir):
+    from infidex_spark.pipeline.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from infidex_spark.pipeline.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    from infidex_spark.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Rolling-hash fingerprint (rows-only; determinism tested in pytest)."""
+    from infidex_spark.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding. Rounds BEFORE
+    ordering so the limit boundary is decided identically to the oracle."""
+    from infidex_spark.pipeline.similarity import _cosine_expr
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return (
+        emb.select(
+            "vec_id",
+            F.round(_cosine_expr("embedding", [float(x) for x in qvec]), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN top-10 (rows-only: lossy by design; recall measured
+    in pytest)."""
+    from infidex_spark.pipeline.similarity import lsh_bucketed_topk
+
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return lsh_bucketed_topk(emb, [float(x) for x in qvec], k=10).select(
+        "vec_id", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> feature vector via
+    mapInPandas (decode kernel is a deterministic stub; rows-only)."""
+    from infidex_spark.pipeline.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("text/fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+    return extract_features(media).select(
+        "media_id", "n_bytes", F.round(F.element_at("feature", 1).cast("double"), 3).alias("f0")
+    )
+
+
+QUERIES = {
+    "word_df": q_word_df,
+    "word_postings": q_word_postings,
+    "doc_stats_words": q_doc_stats_words,
+    "word_idf": q_word_idf,
+    "bm25_word_topk": q_bm25_word_topk,
+    "ngram_topk_engine": q_ngram_topk_engine,
+    "facet_lang_source": q_facet_lang_source,
+    "filter_infiscript": q_filter_infiscript,
+    "filter_infiscript_advanced": q_filter_infiscript_advanced,
+    "sort_limit": q_sort_limit,
+    "boost_sort": q_boost_sort,
+    "doc_lookup": q_doc_lookup,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_features": q_multimodal_features,
+}
+
+_WORDS_CTE = """
+words AS (
+  SELECT doc_id, lower(w) AS term
+  FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(w)
+  WHERE w <> ''
+)
+"""
+
+_EN = "['the','of','and','to','in','a','is','that','for','it']"
+_ES = "['el','la','de','que','y','en','un','es','se','no']"
+_DE = "['der','die','und','das','ist','von','mit','den','ein','zu']"
+_FR = "['le','la','les','de','et','un','est','que','pour','dans']"
+
+ORACLES = {
+    "word_df": f"WITH {_WORDS_CTE} SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY term",
+    "word_postings": f"""
+        WITH {_WORDS_CTE}
+        SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM words WHERE term IN ('spark','join','window','hash')
+        GROUP BY term, doc_id
+    """,
+    "doc_stats_words": f"WITH {_WORDS_CTE} SELECT doc_id, count(*)::BIGINT AS dl FROM words GROUP BY doc_id",
+    "word_idf": f"""
+        WITH {_WORDS_CTE},
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        SELECT term, count(DISTINCT doc_id)::BIGINT AS df,
+               round(ln((n.n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5) + 1.0), 6) AS idf
+        FROM words, n WHERE term IN ('spark','join','window','hash')
+        GROUP BY term, n.n
+    """,
+    "bm25_word_topk": f"""
+        WITH {_WORDS_CTE},
+        n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM words GROUP BY doc_id),
+        avgdl AS (SELECT avg(dl) AS avgdl FROM dl),
+        q AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM words
+              WHERE term IN ('spark','query','join') GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM words
+               WHERE term IN ('spark','query','join') GROUP BY term)
+        SELECT q.doc_id,
+               round(sum( ln((n.n - df.df + 0.5)/(df.df + 0.5) + 1.0)
+                   * ( (q.tf * 2.2) / (q.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)) + 1.0 ) ), 4) AS score
+        FROM q JOIN df USING (term) JOIN dl USING (doc_id), n, avgdl
+        GROUP BY q.doc_id
+        ORDER BY score DESC, q.doc_id ASC
+        LIMIT 10
+    """,
+    "facet_lang_source": """
+        WITH u AS (
+          SELECT 'lang' AS field, lang::VARCHAR AS value, count(*)::BIGINT AS n
+          FROM documents WHERE lang IS NOT NULL GROUP BY lang
+          UNION ALL
+          SELECT 'source', source::VARCHAR, count(*)::BIGINT
+          FROM documents WHERE source IS NOT NULL GROUP BY source
+        )
+        SELECT field, value, n FROM u
+        QUALIFY row_number() OVER (PARTITION BY field ORDER BY n DESC, value ASC) <= 100
+    """,
+    "filter_infiscript": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE lang = 'en' AND n_chars >= 300 AND NOT contains(source, '9')
+    """,
+    "filter_infiscript_advanced": """
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE source IN ('src1','src2','src3')
+           OR (n_chars BETWEEN 100 AND 180 AND regexp_matches(lang, '^(en|es)$'))
+           OR (CASE WHEN lang = 'zh' THEN n_chars >= 200 ELSE text LIKE '%window merge%' END)
+    """,
+    "sort_limit": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """,
+    "boost_sort": """
+        SELECT doc_id,
+               round(n_chars / 1000.0
+                     + (CASE WHEN lang = 'en' THEN 10.0 ELSE 0.0 END)
+                     + (CASE WHEN source LIKE '%1' THEN 5.0 ELSE 0.0 END), 4) AS score
+        FROM documents
+        ORDER BY score DESC, doc_id ASC LIMIT 50
+    """,
+    "doc_lookup": "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "dedup_exact": """
+        SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY md5(text)
+    """,
+    "token_count": r"""
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_pieces,
+               length(text)::BIGINT AS n_chars_seen
+        FROM documents
+    """,
+    "quality_score": rf"""
+        WITH base AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))::DOUBLE AS n_words,
+                 length(text)::DOUBLE AS n_chars,
+                 len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> list_contains({_EN}, x)))::DOUBLE AS stop_hits,
+                 len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS punct,
+                 len(regexp_extract_all(text, '[A-Z]'))::DOUBLE AS upper
+          FROM documents
+        )
+        SELECT doc_id,
+               round((n_chars - n_words + 1) / n_words, 6) AS mean_word_len,
+               round(stop_hits / n_words, 6) AS stopword_ratio,
+               round(punct / n_chars, 6) AS punct_ratio,
+               round(upper / n_chars, 6) AS upper_ratio,
+               round(((CASE WHEN (n_chars - n_words + 1) / n_words BETWEEN 3 AND 10 THEN 0.4 ELSE 0.0 END)
+                   + (CASE WHEN stop_hits / n_words >= 0.05 THEN 0.3 ELSE 0.0 END)
+                   + (CASE WHEN punct / n_chars <= 0.2 THEN 0.2 ELSE 0.0 END)
+                   + (CASE WHEN upper / n_chars <= 0.3 THEN 0.1 ELSE 0.0 END))::DOUBLE, 2) AS quality
+        FROM base
+    """,
+    "lang_id": rf"""
+        WITH v AS (
+          SELECT doc_id,
+                 len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains({_EN}, x)))::BIGINT AS en,
+                 len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains({_ES}, x)))::BIGINT AS es,
+                 len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains({_DE}, x)))::BIGINT AS de,
+                 len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> list_contains({_FR}, x)))::BIGINT AS fr
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(en, es, de, fr) <= 0 THEN 'unknown'
+                    WHEN de = greatest(en, es, de, fr) THEN 'de'
+                    WHEN en = greatest(en, es, de, fr) THEN 'en'
+                    WHEN es = greatest(en, es, de, fr) THEN 'es'
+                    ELSE 'fr' END AS lang_guess,
+               greatest(en, es, de, fr)::BIGINT AS votes
+        FROM v
+    """,
+    "ann_cosine_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        FROM embeddings e, q
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+}

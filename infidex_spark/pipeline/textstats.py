@@ -1,0 +1,139 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All expressible with built-in functions (pure
+Catalyst, SQL-oracle-checkable) except the rolling-hash fingerprint,
+which is an Arrow-batch numpy pass.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# tiny deterministic stopword lists for the n-gram/stopword-ratio heuristic
+EN_STOPWORDS = ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it"]
+ES_STOPWORDS = ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"]
+DE_STOPWORDS = ["der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"]
+FR_STOPWORDS = ["le", "la", "les", "de", "et", "un", "est", "que", "pour", "dans"]
+
+
+def _count_words_expr(words_col, vocab: list[str]):
+    return F.size(F.filter(words_col, lambda w: w.isin(*[F.lit(v) for v in vocab])))
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_chars_seen): whitespace tokenization, the
+    BPE-ish variant counts word + punctuation pieces."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    bpe_ish = F.regexp_count(
+        F.col(text_col), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(words, lambda w: w != "")).alias("n_tokens"),
+        bpe_ish.cast("long").alias("n_pieces"),
+        F.length(text_col).cast("long").alias("n_chars_seen"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score (deterministic):
+    mean word length, stopword ratio, punctuation ratio, uppercase ratio."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_chars = F.length(text_col)
+    stop_hits = _count_words_expr(words, EN_STOPWORDS)
+    punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    upper = F.regexp_count(F.col(text_col), F.lit(r"[A-Z]"))
+    mean_wl = (n_chars - n_words + 1) / n_words
+    stop_ratio = stop_hits.cast("double") / n_words
+    punct_ratio = punct.cast("double") / n_chars
+    upper_ratio = upper.cast("double") / n_chars
+    score = (
+        F.when((mean_wl >= 3) & (mean_wl <= 10), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(stop_ratio >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(upper_ratio <= 0.3, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(score, 2).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language guess (en/es/de/fr/unknown). A real system
+    would use character-n-gram profiles; the *shape* (vote per language,
+    argmax with deterministic tie-break) is the same."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+    scores = {
+        "en": _count_words_expr(words, EN_STOPWORDS),
+        "es": _count_words_expr(words, ES_STOPWORDS),
+        "de": _count_words_expr(words, DE_STOPWORDS),
+        "fr": _count_words_expr(words, FR_STOPWORDS),
+    }
+    best = F.greatest(*[scores[k] for k in sorted(scores)])
+    guess = (
+        F.when(best <= 0, F.lit("unknown"))
+        # deterministic tie-break: alphabetical language order
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select("doc_id", guess.alias("lang_guess"), best.cast("long").alias("votes"))
+
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("fingerprint", T.LongType(), False),
+        T.StructField("n_windows", T.LongType(), False),
+    ]
+)
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min rolling polynomial hash
+    over char windows (numpy-vectorized inside the Arrow batch)."""
+    BASE, MOD = np.uint64(1000003), np.uint64((1 << 61) - 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps, nw = [], []
+            for t in pdf[text_col]:
+                b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                if b.size < window:
+                    h = np.uint64(0)
+                    for x in b:
+                        h = (h * BASE + x) % MOD
+                    fps.append(int(h) - (1 << 62))
+                    nw.append(0)
+                    continue
+                pw = np.uint64(1)
+                for _ in range(window - 1):
+                    pw = (pw * BASE) % MOD
+                h = np.uint64(0)
+                hashes = np.empty(b.size - window + 1, dtype=np.uint64)
+                for i in range(window):
+                    h = (h * BASE + b[i]) % MOD
+                hashes[0] = h
+                for i in range(1, b.size - window + 1):
+                    h = ((h + MOD * BASE - (b[i - 1] * pw) % MOD) * BASE + b[i + window - 1]) % MOD
+                    hashes[i] = h
+                fps.append(int(hashes.min()) - (1 << 62))
+                nw.append(int(hashes.size))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fingerprint": fps, "n_windows": nw}
+            )
+
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=FINGERPRINT_SCHEMA)
