@@ -121,6 +121,94 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> dict:
     }
 
 
+def encode_postings_batch(
+    packed_lists: list[np.ndarray],
+) -> dict:
+    """Encode many terms' postings in one vectorized pass.
+
+    packed_lists: per-term int64 arrays of (doc_id << 8 | tf), each sorted
+    by doc_id. Returns parallel lists: payload bytes, weights bytes,
+    block_last_doc / block_max_w / n_docs / max_tf per term. Equivalent to
+    calling encode_postings per term (tested), but the varint encode, gap
+    computation, and block metadata run once over the concatenation —
+    per-term Python work drops to slicing.
+    """
+    n_terms = len(packed_lists)
+    lens = np.fromiter((len(x) for x in packed_lists), dtype=np.int64, count=n_terms)
+    if n_terms == 0 or int(lens.sum()) == 0:
+        return {
+            "payload": [b""] * n_terms,
+            "weights": [b""] * n_terms,
+            "block_last_doc": [[] for _ in range(n_terms)],
+            "block_max_w": [[] for _ in range(n_terms)],
+            "n_docs": lens.tolist(),
+            "max_tf": [0] * n_terms,
+        }
+    allp = np.concatenate([np.asarray(x, dtype=np.int64) for x in packed_lists])
+    doc_ids = allp >> 8
+    tfs = (allp & 0xFF).astype(np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    nz = lens > 0
+    # gaps with resets at term starts
+    gaps = doc_ids.copy()
+    gaps[1:] -= doc_ids[:-1]
+    gaps[starts[nz]] = doc_ids[starts[nz]]
+    interior = np.ones(allp.size, dtype=bool)
+    interior[starts[nz]] = False
+    if (gaps[interior] <= 0).any():
+        raise ValueError("doc_ids must be strictly increasing within a term")
+    # one varint pass over everything + per-value byte counts for slicing
+    v = gaps.astype(np.uint64)
+    tmp = v >> np.uint64(7)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+        tmp = tmp >> np.uint64(7)
+    byte_ends = np.cumsum(nbytes)
+    byte_starts = byte_ends - nbytes
+    buf = np.zeros(int(byte_ends[-1]), dtype=np.uint8)
+    for g in range(int(nbytes.max())):
+        sel = nbytes > g
+        idx = byte_starts[sel] + g
+        chunk = (v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1 > g).astype(np.uint8) << 7
+        buf[idx] = chunk.astype(np.uint8) | cont
+    raw = buf.tobytes()
+    wraw = tfs.tobytes()
+    # per-term block metadata via reduceat over global block starts
+    payloads, weights_out, bl_last, bl_max, max_tf = [], [], [], [], []
+    for i in range(n_terms):
+        s, e = int(starts[i]), int(ends[i])
+        if e == s:
+            payloads.append(b"")
+            weights_out.append(b"")
+            bl_last.append([])
+            bl_max.append([])
+            max_tf.append(0)
+            continue
+        bstart = int(byte_starts[s])
+        bend = int(byte_ends[e - 1])
+        payloads.append(raw[bstart:bend])
+        weights_out.append(wraw[s:e])
+        blk = np.arange(s, e, BLOCK_SIZE)
+        bl_max.append(np.maximum.reduceat(tfs[s:e], blk - s).astype(np.int64).tolist())
+        last_idx = np.minimum(blk + BLOCK_SIZE - 1, e - 1)
+        bl_last.append(doc_ids[last_idx].tolist())
+        max_tf.append(int(tfs[s:e].max()))
+    return {
+        "payload": payloads,
+        "weights": weights_out,
+        "block_last_doc": bl_last,
+        "block_max_w": bl_max,
+        "n_docs": lens.tolist(),
+        "max_tf": max_tf,
+    }
+
+
 def decode_postings(payload: bytes, weights: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_postings: (doc_ids int64[], weights uint8[])."""
     gaps = decode_varints(payload, n).astype(np.int64)

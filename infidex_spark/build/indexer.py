@@ -47,8 +47,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from infidex_spark.build.codec import encode_postings
-from infidex_spark.build.tokenizer import tokenize_batch
+from infidex_spark.build.codec import encode_postings_batch
+from infidex_spark.build.tokenizer import tokenize_batch_frames
 from infidex_spark.kernel.engine import DEFAULT_FIELD_WEIGHT, DEFAULT_STOP_TERM_LIMIT
 from infidex_spark.kernel.tokenize import DEFAULT_INDEX_SIZES, DEFAULT_START_PAD
 
@@ -90,9 +90,12 @@ def tokenize_docs(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            counts = tokenize_batch(pdf["text"], sizes=sizes, start_pad=start_pad)
-            counts["doc_id"] = pdf["doc_id"].to_numpy()[counts["doc_idx"].to_numpy()]
-            yield counts[["doc_id", "term", "occ"]]
+            ids = pdf["doc_id"].to_numpy()
+            for frame in tokenize_batch_frames(
+                pdf["text"], sizes=sizes, start_pad=start_pad
+            ):
+                frame["doc_id"] = ids[frame["doc_idx"].to_numpy()]
+                yield frame[["doc_id", "term", "occ"]]
 
     return docs.select("doc_id", "text").mapInPandas(run, schema=TOKENS_SCHEMA)
 
@@ -102,25 +105,22 @@ def _encode_partition(n_buckets: int):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {k: [] for k in (
-                "term", "df", "n_docs", "max_tf", "payload", "weights",
-                "block_last_doc", "block_max_w", "bucket",
-            )}
-            for r in pdf.itertuples(index=False):
-                # parallel arrays arrive pre-sorted by doc_id (array_sort)
-                doc_ids = np.asarray(r.doc_ids, dtype=np.int64)
-                tfs = np.asarray(r.tfs, dtype=np.int64)
-                enc = encode_postings(doc_ids, tfs.astype(np.uint8))
-                rows["term"].append(r.term)
-                rows["df"].append(int(r.df))
-                rows["n_docs"].append(int(doc_ids.size))
-                rows["max_tf"].append(int(tfs.max()) if tfs.size else 0)
-                rows["payload"].append(enc["payload"])
-                rows["weights"].append(enc["weights"])
-                rows["block_last_doc"].append(enc["block_last_doc"].tolist())
-                rows["block_max_w"].append(enc["block_max_w"].tolist())
-                rows["bucket"].append(int(r.bucket))
-            yield pd.DataFrame(rows)
+            # packed longs arrive sorted by doc_id (array_sort upstream);
+            # one vectorized encode pass for the whole batch of terms
+            enc = encode_postings_batch(list(pdf["postings"]))
+            yield pd.DataFrame(
+                {
+                    "term": pdf["term"],
+                    "df": pdf["df"].astype("int64"),
+                    "n_docs": enc["n_docs"],
+                    "max_tf": enc["max_tf"],
+                    "payload": enc["payload"],
+                    "weights": enc["weights"],
+                    "block_last_doc": enc["block_last_doc"],
+                    "block_max_w": enc["block_max_w"],
+                    "bucket": pdf["bucket"].astype("int32"),
+                }
+            )
 
     return run
 
@@ -131,6 +131,7 @@ def build_index(
     out_dir: str,
     n_buckets: int = 32,
     salts: int = 8,
+    hot_df_threshold: int = 100_000,
     bucket_groups: int = 1,
     stop_term_limit: int = DEFAULT_STOP_TERM_LIMIT,
     field_weight: float = DEFAULT_FIELD_WEIGHT,
@@ -146,6 +147,14 @@ def build_index(
     carry doc_key LONG (defaults to doc_id).
     """
     t0 = time.time()
+    step_secs: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(step: str) -> None:
+        now = time.time()
+        step_secs[step] = round(now - _last[0], 2)
+        _last[0] = now
+
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     done_buckets: set[int] = set()
@@ -172,6 +181,7 @@ def build_index(
         tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
         tokens.write.mode("overwrite").parquet(tokens_path)
     tokens = spark.read.parquet(tokens_path)
+    _mark("tokenize")
 
     # ---- term df + stop-term pruning (shuffle 1; partial agg map-side)
     term_df = tokens.groupBy("term").agg(F.sum("dfc").alias("df"))
@@ -182,6 +192,7 @@ def build_index(
     n_stop = stop_terms.count()
     stop_sample = [r.term for r in stop_terms.limit(100).collect()]
     live = tokens.join(F.broadcast(stop_terms), "term", "left_anti")
+    _mark("term_df_stop")
 
     # ---- doc stats (shuffle 2)
     n_docs_total = docs.count()
@@ -196,25 +207,42 @@ def build_index(
     doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
     sum_dl = doc_stats.agg(F.sum("dl")).collect()[0][0] or 0.0
     avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
+    _mark("doc_stats")
 
-    # ---- postings: salted two-stage agg + encode (shuffles 3+4)
-    salted = live.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts)).cast("int"))
-    partial = salted.groupBy("term", "salt").agg(
-        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))).alias("part"),
-        F.sum("dfc").alias("pdf"),
+    # ---- postings: skew-aware agg + encode
+    # (doc_id, tf) packed into one BIGINT (doc_id<<8 | tf): aggregation
+    # runs on primitive long arrays (no struct boxing), one array_sort at
+    # the end orders by doc_id (tf sits in the low bits; doc_ids are
+    # unique per term so ordering is unaffected).
+    # Skew: only terms with df above hot_df_threshold (the Zipf head,
+    # identified from the already-computed term_df) take the salted
+    # two-stage path; the long tail aggregates in a single shuffle.
+    hot_terms = term_df.filter(
+        (F.col("df") > hot_df_threshold) & (F.col("df") <= stop_term_limit)
+    ).select("term")
+    packed = live.withColumn("packed", F.shiftleft(F.col("doc_id"), 8) + F.col("tf"))
+
+    cold = (
+        packed.join(F.broadcast(hot_terms), "term", "left_anti")
+        .groupBy("term")
+        .agg(
+            F.array_sort(F.collect_list("packed")).alias("postings"),
+            F.sum("dfc").alias("df"),
+        )
     )
-    merged = (
-        partial.groupBy("term")
+    hot = (
+        packed.join(F.broadcast(hot_terms), "term", "left_semi")
+        .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts)).cast("int"))
+        .groupBy("term", "salt")
+        .agg(F.collect_list("packed").alias("part"), F.sum("dfc").alias("pdf"))
+        .groupBy("term")
         .agg(
             F.array_sort(F.flatten(F.collect_list("part"))).alias("postings"),
             F.sum("pdf").alias("df"),
         )
-        .select(
-            "term",
-            "df",
-            F.transform("postings", lambda x: x["doc_id"]).alias("doc_ids"),
-            F.transform("postings", lambda x: x["tf"]).alias("tfs"),
-        )
+    )
+    merged = (
+        cold.unionByName(hot)
         # crc32 (not xxhash64): the query driver computes the same bucket in
         # pure Python (zlib.crc32) for partition pruning on point lookups
         .withColumn("bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"))
@@ -258,12 +286,15 @@ def build_index(
         bucket_metrics.append({"buckets": todo, "wall_sec": elapsed})
         done_buckets.update(todo)
 
+    _mark("postings")
     # ---- prefix postings (for prefix-precedence candidates)
     _build_prefixes(docs, out_dir, max_prefix_docs)
 
+    _mark("prefixes")
     # ---- LD1 symmetric-delete variants over the live dictionary
     _build_variants(spark, os.path.join(out_dir, "postings"), out_dir)
 
+    _mark("variants")
     if not keep_tokens:
         shutil.rmtree(tokens_path, ignore_errors=True)
 
@@ -282,10 +313,12 @@ def build_index(
         "start_pad": start_pad,
         "n_buckets": n_buckets,
         "salts": salts,
+        "hot_df_threshold": hot_df_threshold,
         "max_prefix_docs": max_prefix_docs,
         "build_wall_sec": wall,
         "docs_per_sec": (n_docs_total / wall) if wall > 0 else 0.0,
         "bucket_groups": bucket_metrics,
+        "step_secs": step_secs,
         "lineage": {
             "input_columns": docs.columns,
             "spark_version": spark.version,
@@ -315,28 +348,50 @@ def _build_prefixes(docs: DataFrame, out_dir: str, max_prefix_docs: int) -> None
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from infidex_spark.kernel.normalize import normalize_series
-        from infidex_spark.build.tokenizer import _DELIM_SPLIT
+        from infidex_spark.build.tokenizer import (
+            _DELIM_SPLIT,
+            _key_to_str,
+            _pack_keys,
+        )
 
         for pdf in batches:
             texts = normalize_series(pdf["text"].fillna("")).str.lower()
             words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
             words = words[words.str.len() >= 1]
+            if not len(words):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            wdoc = ids[words.index.to_numpy(np.int64)]
+            blob = "".join(words.tolist())
+            cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+            wlen = words.str.len().to_numpy(np.int64)
+            starts = np.cumsum(wlen) - wlen
             frames = []
             for plen in (1, 2, 3):
-                w = words[words.str.len() >= plen]
-                if not len(w):
+                sel = wlen >= plen
+                if not sel.any():
                     continue
+                keys = _pack_keys(cps, starts[sel], plen)
+                docs_sel = wdoc[sel]
+                # dedupe (doc, key) pairs map-side before the shuffle
+                order = np.lexsort((keys, docs_sel))
+                keys, docs_sel = keys[order], docs_sel[order]
+                keep = np.empty(keys.size, dtype=bool)
+                keep[0] = True
+                keep[1:] = (keys[1:] != keys[:-1]) | (docs_sel[1:] != docs_sel[:-1])
+                keys, docs_sel = keys[keep], docs_sel[keep]
+                ukeys, inv = np.unique(keys, return_inverse=True)
                 frames.append(
                     pd.DataFrame(
                         {
-                            "doc_id": pdf["doc_id"].to_numpy()[w.index.to_numpy()],
-                            "prefix": w.str[:plen].to_numpy(),
+                            "prefix": pd.Categorical.from_codes(
+                                inv, categories=_key_to_str(ukeys, plen)
+                            ),
+                            "doc_id": docs_sel.astype(np.int64),
                         }
                     )
                 )
-            if frames:
-                out = pd.concat(frames, ignore_index=True).drop_duplicates()
-                yield out[["prefix", "doc_id"]]
+            yield from frames
 
     pairs_schema = T.StructType(
         [
@@ -344,20 +399,26 @@ def _build_prefixes(docs: DataFrame, out_dir: str, max_prefix_docs: int) -> None
             T.StructField("doc_id", T.LongType(), False),
         ]
     )
-    pairs = docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema)
+    # (prefix, doc_id) pairs are globally unique: each doc's rows come from
+    # exactly one Arrow batch and are deduped there -> plain count/collect,
+    # no distinct needed. persist() so extract runs once, not per-agg.
+    pairs = (
+        docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema).persist()
+    )
     # two-stage so hot prefixes (Zipf head) never funnel their full doc
     # list through one reducer: count first, collect lists only for
     # prefixes under the cap (the query-time selector skips hot prefixes
     # by count alone).
-    counts = pairs.groupBy("prefix").agg(F.countDistinct("doc_id").alias("n_docs"))
+    counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
     small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
     lists = (
         pairs.join(F.broadcast(small), "prefix", "left_semi")
         .groupBy("prefix")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("doc_ids"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
     )
     final = counts.join(lists, "prefix", "left").select("prefix", "n_docs", "doc_ids")
     final.write.mode("overwrite").parquet(os.path.join(out_dir, "prefixes"))
+    pairs.unpersist()
 
 
 def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> None:

@@ -8,16 +8,20 @@ Tokenizer.cs:75-139) but computed with numpy over the whole Arrow batch:
 - all documents in a batch are padded and concatenated into one codepoint
   array; n-grams are overlapping windows packed into uint64 keys
   (21 bits/codepoint), counted with a single lexsort + run-length pass;
-- words come from one vectorized regex split over the batch;
-- per-(doc, term) counts from grams and words are summed (a 3-char word
-  IS its own 3-gram term and must merge).
+- words of exactly n-gram length are packed into the same key space and
+  counted together with the grams (a 3-char word IS its own 3-gram term);
+- longer words are counted with one pandas groupby;
+- gram term columns are emitted as pandas Categorical so they stay
+  dictionary-encoded through Arrow — no per-occurrence Python strings.
 
-This is the map stage of the index build; it runs inside mapInPandas so
-the only Python-interpreter work per document is O(unique terms), not
-O(characters).
+This is the map stage of the index build; the only Python-interpreter
+work per batch is O(unique terms), not O(characters).
 """
 
 from __future__ import annotations
+
+from itertools import product
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -32,55 +36,48 @@ from infidex_spark.kernel.tokenize import (
 )
 
 _DELIM_SPLIT = "[" + "".join("\\" + c for c in DELIMITERS) + "]+"
-_PAD_CPS = frozenset((ord(START_PAD), ord(STOP_PAD)))
+_PAD_CPS = (ord(START_PAD), ord(STOP_PAD))
 
 
-def _gram_counts(
-    texts: pd.Series, size: int, start_pad: int, only_docs: np.ndarray | None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(doc_idx, gram_key_uint64, count) for one n-gram size.
-
-    only_docs: boolean mask of docs participating at this size (multi-size
-    rule: docs whose padded length <= min size only use the min size).
-    """
-    padded = (START_PAD * start_pad) + texts.fillna("")
-    if only_docs is not None:
-        padded = padded.where(pd.Series(only_docs, index=padded.index), "")
-    blob = "".join(padded.tolist())
-    if not blob:
-        return (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, np.int64))
-    cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
-    lengths = padded.str.len().to_numpy(dtype=np.int64)
-    ends = np.cumsum(lengths)
-    starts = ends - lengths
-    n = cps.size
-    if n < size:
-        return (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, np.int64))
-    # window start positions that stay inside one doc
-    pos = np.arange(n - size + 1)
-    doc_of = np.searchsorted(ends, pos, side="right")
-    valid = pos + size <= ends[doc_of]
-    pos = pos[valid]
-    doc_of = doc_of[valid]
-    # pack codepoints into a uint64 key (21 bits each, size<=3)
+def _pack_keys(cps: np.ndarray, pos: np.ndarray, size: int) -> np.ndarray:
+    """uint64 keys for windows of `size` codepoints starting at pos."""
     key = np.zeros(pos.size, dtype=np.uint64)
     for j in range(size):
         key = (key << np.uint64(21)) | cps[pos + j].astype(np.uint64)
-    # drop all-padding windows
-    pad_keys = set()
-    if size <= 3:
-        from itertools import product
+    return key
 
-        for combo in product(_PAD_CPS, repeat=size):
-            k = 0
-            for c in combo:
-                k = (k << 21) | c
-            pad_keys.add(k)
-    if pad_keys:
-        mask = ~np.isin(key, np.fromiter(pad_keys, dtype=np.uint64))
-        key, doc_of = key[mask], doc_of[mask]
-    if key.size == 0:
-        return (np.zeros(0, np.int64), np.zeros(0, np.uint64), np.zeros(0, np.int64))
+
+def _pack_strings(strings: pd.Series, size: int) -> np.ndarray:
+    """uint64 keys for strings of exactly `size` chars (vectorized)."""
+    blob = "".join(strings.tolist())
+    cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+    pos = np.arange(0, cps.size, size)
+    return _pack_keys(cps, pos, size)
+
+
+def _pad_keys(size: int) -> np.ndarray:
+    out = []
+    for combo in product(_PAD_CPS, repeat=size):
+        k = 0
+        for c in combo:
+            k = (k << 21) | c
+        out.append(k)
+    return np.array(out, dtype=np.uint64)
+
+
+def _key_to_str(keys: np.ndarray, size: int) -> list[str]:
+    chars = np.empty((keys.size, size), dtype=np.uint32)
+    k = keys.copy()
+    for j in range(size - 1, -1, -1):
+        chars[:, j] = (k & np.uint64((1 << 21) - 1)).astype(np.uint32)
+        k = k >> np.uint64(21)
+    flat = chars.reshape(-1).astype("<u4").tobytes()
+    s = flat.decode("utf-32-le")
+    return [s[i * size : (i + 1) * size] for i in range(keys.size)]
+
+
+def _count_pairs(doc_of: np.ndarray, key: np.ndarray):
+    """run-length count of (doc, key) pairs -> (docs, keys, counts)."""
     order = np.lexsort((key, doc_of))
     key, doc_of = key[order], doc_of[order]
     boundary = np.empty(key.size, dtype=bool)
@@ -91,13 +88,81 @@ def _gram_counts(
     return doc_of[idx], key[idx], counts
 
 
-def _key_to_str(keys: np.ndarray, size: int) -> list[str]:
-    chars = np.empty((keys.size, size), dtype=np.uint32)
-    k = keys.copy()
-    for j in range(size - 1, -1, -1):
-        chars[:, j] = (k & np.uint64((1 << 21) - 1)).astype(np.uint32)
-        k = k >> np.uint64(21)
-    return [bytes(row).decode("utf-32-le") for row in chars.view(np.uint8).reshape(keys.size, size * 4)]
+def tokenize_batch_frames(
+    texts: pd.Series,
+    sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
+    start_pad: int = DEFAULT_START_PAD,
+    prenormalized: bool = False,
+) -> Iterator[pd.DataFrame]:
+    """Yield DataFrames (doc_idx int64, term, occ int64); term columns are
+    Categorical for gram-size frames, object for long words. Frames are
+    disjoint on (doc_idx, term) across yields."""
+    if not prenormalized:
+        texts = normalize_series(texts.fillna("")).str.lower()
+    texts = texts.reset_index(drop=True)
+    if len(texts) == 0:
+        return
+
+    # one word split for the whole batch
+    words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+    min_size = sizes[0]
+    words = words[words.str.len() >= min_size]
+    wlens = words.str.len()
+
+    padded = (START_PAD * start_pad) + texts
+    blob = "".join(padded.tolist())
+    cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+    lengths = padded.str.len().to_numpy(dtype=np.int64)
+    ends = np.cumsum(lengths)
+    padded_len = lengths  # == text len + start_pad
+
+    max_size = sizes[-1]
+    for size in sizes:
+        # multi-size rule: docs with padded length <= min size only use min
+        if size == sizes[0]:
+            doc_mask = None
+        else:
+            doc_mask = padded_len > sizes[0]
+        n = cps.size
+        if n >= size:
+            pos = np.arange(n - size + 1)
+            doc_of = np.searchsorted(ends, pos, side="right")
+            valid = pos + size <= ends[doc_of]
+            if doc_mask is not None:
+                valid &= doc_mask[doc_of]
+            pos, doc_of = pos[valid], doc_of[valid]
+            key = _pack_keys(cps, pos, size)
+            mask = ~np.isin(key, _pad_keys(size))
+            key, doc_of = key[mask], doc_of[mask]
+        else:
+            key = np.zeros(0, dtype=np.uint64)
+            doc_of = np.zeros(0, dtype=np.int64)
+
+        # words of exactly this length live in the same key space
+        sw = words[wlens == size]
+        if len(sw):
+            wkeys = _pack_strings(sw, size)
+            key = np.concatenate([key, wkeys])
+            doc_of = np.concatenate([doc_of, sw.index.to_numpy(np.int64)])
+
+        if key.size:
+            d, k, c = _count_pairs(doc_of, key)
+            uniq, inv = np.unique(k, return_inverse=True)
+            yield pd.DataFrame(
+                {
+                    "doc_idx": d,
+                    "term": pd.Categorical.from_codes(inv, categories=_key_to_str(uniq, size)),
+                    "occ": c,
+                }
+            )
+        if size == max_size:
+            break
+
+    lw = words[wlens > max_size]
+    if len(lw):
+        wdf = pd.DataFrame({"doc_idx": lw.index.to_numpy(np.int64), "term": lw.to_numpy()})
+        wc = wdf.groupby(["doc_idx", "term"], sort=False).size().reset_index(name="occ")
+        yield wc
 
 
 def tokenize_batch(
@@ -106,53 +171,18 @@ def tokenize_batch(
     start_pad: int = DEFAULT_START_PAD,
     prenormalized: bool = False,
 ) -> pd.DataFrame:
-    """Per-document term occurrence counts for an Arrow batch.
-
-    Returns DataFrame(doc_idx:int64, term:str, occ:int64) where doc_idx is
-    the positional index into ``texts``.
-    """
-    if not prenormalized:
-        texts = normalize_series(texts.fillna("")).str.lower()
-    texts = texts.reset_index(drop=True)
-    frames: list[pd.DataFrame] = []
-
-    # multi-size rule: padded length <= sizes[0] -> only sizes[0]
-    padded_len = texts.str.len().to_numpy(dtype=np.int64) + start_pad
-    max_size = sizes[-1]
-    for size in sizes:
-        if size == sizes[0]:
-            only = None  # smallest size: all docs
-        else:
-            only = padded_len > sizes[0]
-        d, k, c = _gram_counts(texts, size, start_pad, only)
-        if k.size:
-            # unique keys across the batch -> strings once
-            uniq, inv = np.unique(k, return_inverse=True)
-            strs = _key_to_str(uniq, size)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "doc_idx": d,
-                        "term": pd.array([strs[i] for i in inv], dtype="object"),
-                        "occ": c,
-                    }
-                )
-            )
-        if size == max_size:
-            break
-
-    # words >= min size
-    min_size = sizes[0]
-    words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-    words = words[words.str.len() >= min_size]
-    if len(words):
-        wdf = pd.DataFrame({"doc_idx": words.index.to_numpy(np.int64), "term": words.to_numpy()})
-        wc = wdf.groupby(["doc_idx", "term"], sort=False).size().reset_index(name="occ")
-        frames.append(wc)
-
+    """Materialized variant (tests / small inputs): one DataFrame with a
+    plain-object term column."""
+    frames = [
+        f.assign(term=f["term"].astype(str))
+        for f in tokenize_batch_frames(texts, sizes, start_pad, prenormalized)
+    ]
     if not frames:
-        return pd.DataFrame({"doc_idx": pd.array([], dtype="int64"), "term": pd.array([], dtype="object"), "occ": pd.array([], dtype="int64")})
-    out = pd.concat(frames, ignore_index=True)
-    # merge grams and words that are the same term (e.g. 3-char words)
-    out = out.groupby(["doc_idx", "term"], sort=False, as_index=False)["occ"].sum()
-    return out
+        return pd.DataFrame(
+            {
+                "doc_idx": pd.array([], dtype="int64"),
+                "term": pd.array([], dtype="object"),
+                "occ": pd.array([], dtype="int64"),
+            }
+        )
+    return pd.concat(frames, ignore_index=True)

@@ -80,3 +80,22 @@ def test_postings_empty_and_single():
     d, w = decode_postings(enc["payload"], enc["weights"], 1)
     assert d.tolist() == [42] and w.tolist() == [7]
     assert enc["block_last_doc"].tolist() == [42]
+
+
+def test_batch_encoder_matches_single():
+    from infidex_spark.build.codec import encode_postings_batch
+
+    rng = np.random.default_rng(11)
+    packed_lists = []
+    singles = []
+    for n in [0, 1, 5, BLOCK_SIZE, BLOCK_SIZE + 1, 1000]:
+        ids = np.sort(rng.choice(np.arange(1, 100000), size=n, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 255, size=n).astype(np.uint8)
+        packed_lists.append((ids << 8) | tfs)
+        singles.append(encode_postings(ids, tfs))
+    batch = encode_postings_batch(packed_lists)
+    for i, single in enumerate(singles):
+        assert batch["payload"][i] == single["payload"], i
+        assert batch["weights"][i] == single["weights"], i
+        assert batch["block_last_doc"][i] == single["block_last_doc"].tolist(), i
+        assert batch["block_max_w"][i] == single["block_max_w"].tolist(), i
