@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Benchmark: index-build throughput + query latency, one JSON line out.
+
+Workload (deterministic, seeded):
+1. generate synthetic Common-Crawl-style webtext (row count scales with
+   the sf of $SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1);
+2. build the full inverted index (tokenize -> postings/doc_stats/
+   prefixes/variants) on local[$SPARK_GRAFT_CPUS];
+3. run the reference-style query set (exact / typo / split+typo /
+   multi-term / type-ahead) through the driver-side executor, 20
+   repetitions each, and report p50 latency.
+
+Output: ONE JSON line
+  {"metric": ..., "value": <build wall sec>, "unit": "sec",
+   "queries": {name: p50_sec}, "sf": ..., ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# reference-style query set (FIXTURES.md §5) over the webtext vocabulary
+QUERIES = {
+    "exact_single": "shawshank",
+    "typo": "shaaawshank",
+    "split_typo": "shaa awshank",
+    "multi_term": "redemption shank",
+    "type_ahead": "redemption sh",
+    "flagship": "quick fox",
+    "golden_1": "batman",
+    "golden_2": "qick fux",
+    "hot_terms": "the of and",
+    "diacritics": "zlutoucky kun",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = 0.1
+    for part in sf_dir.rstrip("/").split("/"):
+        if part.startswith("sf"):
+            try:
+                sf = float(part[2:])
+            except ValueError:
+                pass
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", str(max(2000, int(200_000 * sf)))))
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "20"))
+    out_dir = os.path.join(REPO, "_work", f"bench_index_{n_docs}")
+
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader, QueryExecutor
+    from infidex_spark.session import get_spark
+    from infidex_spark.webtext import generate_webtext, with_doc_ids
+
+    spark = get_spark(app_name="infidex-bench", cpus=cpus)
+    wt = generate_webtext(spark, n_docs, seed=42)
+    docs = with_doc_ids(wt).selectExpr("doc_id", "doc_id as doc_key", "text").persist()
+    docs.count()  # materialize input outside the measured window
+
+    t0 = time.time()
+    manifest = build_index(spark, docs, out_dir, n_buckets=32, salts=8)
+    build_sec = time.time() - t0
+
+    ex = QueryExecutor(IndexReader(out_dir))
+    q_p50: dict[str, float] = {}
+    lat_all: list[float] = []
+    for name, text in QUERIES.items():
+        ex.search(text, 10)  # warm (dataset metadata, stop set)
+        times = []
+        for _ in range(reps):
+            t = time.time()
+            ex.search(text, 10)
+            times.append(time.time() - t)
+        q_p50[name] = round(statistics.median(times), 5)
+        lat_all.extend(times)
+
+    extras = {}
+    scaling_path = os.path.join(REPO, "SCALING.json")
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as f:
+                extras["scaling"] = json.load(f)
+        except Exception:
+            pass
+
+    result = {
+        "metric": "index-build wall sec, synthetic webtext (query p50s in 'queries')",
+        "value": round(build_sec, 2),
+        "unit": "sec",
+        "queries": q_p50,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "query_p50_sec_overall": round(statistics.median(lat_all), 5),
+        "build_step_secs": manifest.get("step_secs", {}),
+        "index_terms_sample": manifest.get("n_stop_terms", 0),
+        "cpus": cpus,
+        **extras,
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,34 +1,40 @@
 """Distributed inverted-index build.
 
-Dataflow (all shuffles explicit, skew handled by salted two-stage agg):
+Dataflow (default strategy="sortmerge"):
 
   docs(doc_id, text)
     -[mapInPandas: vectorized tokenize+count]-> tokens(doc_id, term, occ)
     tokens += tf (byte-saturated), dfc (df contribution)      [pure SQL]
     term_df   = tokens groupBy(term) sum(dfc)                  [shuffle 1]
-    stop set  = term_df where df > stop_term_limit             (broadcast)
-    live      = tokens anti-join stop set                      (broadcast join, no shuffle)
+    stop set  = Zipf head where df > stop_term_limit           (one collect,
+                broadcast anti-join — no shuffle)
     doc_stats = live groupBy(doc_id) sum(tf)                   [shuffle 2]
-    postings  = live groupBy(term, salt) partial sorted lists  [shuffle 3, salted]
-                -> groupBy(term) merge + encode payload        [shuffle 4, <=SALTS rows/term]
+    postings  = live repartition(term-bucket)                  [shuffle 3]
+                -> sortWithinPartitions(term, packed)          [spillable sort]
+                -> streaming Arrow pass: run-length group by term,
+                   delta+varint encode, per-block max scores
     writes: postings/ (parquet, partitioned by term bucket, sorted by term),
-            doc_stats/, prefixes/, variants/, MANIFEST.json,
+            doc_stats/, stop_terms/, prefixes/, variants/, MANIFEST.json,
             checkpoints/ (per-bucket lineage + metrics rows)
 
-Scale notes (10^12 docs):
-- tokens are pre-aggregated per doc inside the Arrow batch, so shuffle 1/3
+Skew (Zipfian 3-grams at 10^12 docs):
+- tokens are pre-aggregated per doc inside the Arrow batch, so shuffles
   carry one row per (doc, unique term), not per token occurrence;
-- hot 3-grams are Zipfian: the salted partial agg bounds any single task's
-  input to ~|postings|/SALTS, and the final merge task sees at most SALTS
-  pre-sorted arrays per term (stop-term pruning caps list length at
-  stop_term_limit anyway);
-- bucket partitioning on xxhash64(term) + sortWithinPartitions(term) gives
+- stop-term pruning caps any single term's postings at stop_term_limit;
+- the sort-merge path has no per-key buffers: a hot term is just a longer
+  sorted run inside a spillable Tungsten sort, so no salting is required
+  for correctness or memory;
+- strategy="salted-agg" keeps the explicit alternative: collect_list
+  aggregation where the Zipf head (df > hot_df_threshold) goes through a
+  salted two-stage partial merge — useful when a downstream consumer
+  wants materialized posting arrays instead of encoded payloads;
+- bucket partitioning on crc32(term) + sortWithinPartitions(term) gives
   the query path partition pruning + parquet min/max row-group skipping.
 
 Checkpoint/resume: postings are written one bucket-group at a time; each
 completed group appends per-bucket checkpoint rows (lineage: input
 fingerprint, counts, bytes, docs/sec). A re-run with resume=True skips
-completed buckets — the tokens materialization makes the retry cheap.
+completed buckets.
 """
 
 from __future__ import annotations
@@ -100,26 +106,90 @@ def tokenize_docs(
     return docs.select("doc_id", "text").mapInPandas(run, schema=TOKENS_SCHEMA)
 
 
-def _encode_partition(n_buckets: int):
-    """mapInPandas encoder: (term, df, postings array rows) -> index rows."""
+def _encode_sorted_stream():
+    """mapInPandas encoder over a bucket-partitioned, term-sorted token
+    stream: rows (term, packed, dfc, bucket) sorted by (term, packed)
+    within the partition. Groups are detected by term change; the rows of
+    each batch's final term are carried into the next batch (a hot term's
+    postings may span Arrow batches), so no group is ever split.
+
+    This is the sort-merge merge step: one shuffle (by term bucket), one
+    sort, one streaming numpy pass — no collect_list materialization.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            # packed longs arrive sorted by doc_id (array_sort upstream);
-            # one vectorized encode pass for the whole batch of terms
-            enc = encode_postings_batch(list(pdf["postings"]))
-            yield pd.DataFrame(
+        pend_term: str | None = None
+        pend_bucket = 0
+        pend_packed: list[np.ndarray] = []
+        pend_dfc = 0
+
+        def encode_group(terms, buckets, packed_lists, dfs) -> pd.DataFrame:
+            enc = encode_postings_batch(packed_lists)
+            return pd.DataFrame(
                 {
-                    "term": pdf["term"],
-                    "df": pdf["df"].astype("int64"),
+                    "term": terms,
+                    "df": np.asarray(dfs, dtype=np.int64),
                     "n_docs": enc["n_docs"],
                     "max_tf": enc["max_tf"],
                     "payload": enc["payload"],
                     "weights": enc["weights"],
                     "block_last_doc": enc["block_last_doc"],
                     "block_max_w": enc["block_max_w"],
-                    "bucket": pdf["bucket"].astype("int32"),
+                    "bucket": np.asarray(buckets, dtype=np.int32),
                 }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            packed = pdf["packed"].to_numpy()
+            dfc = pdf["dfc"].to_numpy()
+            bucket = pdf["bucket"].to_numpy()
+            # group boundaries by term change
+            change = np.empty(len(terms), dtype=bool)
+            change[0] = True
+            change[1:] = terms[1:] != terms[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(terms))
+
+            out_terms, out_buckets, out_lists, out_dfs = [], [], [], []
+            for gi in range(len(starts)):
+                s, e = int(starts[gi]), int(ends[gi])
+                t = terms[s]
+                is_last = gi == len(starts) - 1
+                if pend_term is not None and t == pend_term:
+                    pend_packed.append(packed[s:e])
+                    pend_dfc += int(dfc[s:e].sum())
+                    if not is_last:
+                        out_terms.append(pend_term)
+                        out_buckets.append(pend_bucket)
+                        out_lists.append(np.concatenate(pend_packed))
+                        out_dfs.append(pend_dfc)
+                        pend_term, pend_packed, pend_dfc = None, [], 0
+                    continue
+                if pend_term is not None:
+                    # pending term ended at the batch boundary
+                    out_terms.append(pend_term)
+                    out_buckets.append(pend_bucket)
+                    out_lists.append(np.concatenate(pend_packed))
+                    out_dfs.append(pend_dfc)
+                    pend_term, pend_packed, pend_dfc = None, [], 0
+                if is_last:
+                    pend_term = t
+                    pend_bucket = int(bucket[s])
+                    pend_packed = [packed[s:e]]
+                    pend_dfc = int(dfc[s:e].sum())
+                else:
+                    out_terms.append(t)
+                    out_buckets.append(int(bucket[s]))
+                    out_lists.append(packed[s:e])
+                    out_dfs.append(int(dfc[s:e].sum()))
+            if out_terms:
+                yield encode_group(out_terms, out_buckets, out_lists, out_dfs)
+        if pend_term is not None:
+            yield encode_group(
+                [pend_term], [pend_bucket], [np.concatenate(pend_packed)], [pend_dfc]
             )
 
     return run
@@ -140,11 +210,23 @@ def build_index(
     max_prefix_docs: int = 100_000,
     resume: bool = False,
     keep_tokens: bool = False,
+    aux: bool = True,
+    tokens_storage: str = "auto",
+    strategy: str = "sortmerge",
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
 
     docs must have columns (doc_id LONG dense 0..N-1, text STRING) and may
     carry doc_key LONG (defaults to doc_id).
+
+    aux=False skips the auxiliary structures (prefix postings for the
+    short-query path, LD1 variant dictionary for fuzzy expansion) — the
+    BM25 core (postings + doc stats + stop terms) is always built.
+
+    tokens_storage: "parquet" materializes the token table on disk (needed
+    for resume and for very large inputs), "memory" uses a persisted
+    DataFrame (MEMORY_AND_DISK — fewer write/read round-trips), "auto"
+    picks parquet when resume/bucket_groups>1, else memory.
     """
     t0 = time.time()
     step_secs: dict[str, float] = {}
@@ -172,81 +254,125 @@ def build_index(
         docs = docs.withColumn("doc_key", F.col("doc_id"))
 
     cap = _tf_cap(field_weight)
+    if tokens_storage == "auto":
+        tokens_storage = "parquet" if (resume or bucket_groups > 1) else "memory"
     tokens_path = os.path.join(out_dir, "tokens")
-    if not (resume and os.path.isdir(tokens_path)):
-        tokens = tokenize_docs(docs, sizes, start_pad).withColumn(
-            "tf", F.least(F.col("occ"), F.lit(cap))
-        )
-        # df contribution per (term, doc): occ - successful accumulates
-        tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
-        tokens.write.mode("overwrite").parquet(tokens_path)
-    tokens = spark.read.parquet(tokens_path)
+    tokens = tokenize_docs(docs, sizes, start_pad).withColumn(
+        "tf", F.least(F.col("occ"), F.lit(cap))
+    )
+    # df contribution per (term, doc): occ - successful accumulates
+    tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
+    if tokens_storage == "parquet":
+        if not (resume and os.path.isdir(tokens_path)):
+            tokens.write.mode("overwrite").parquet(tokens_path)
+        tokens = spark.read.parquet(tokens_path)
+    else:
+        from pyspark import StorageLevel
+
+        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
+        tokens.count()  # materialize once; reused by df/stats/postings
     _mark("tokenize")
 
-    # ---- term df + stop-term pruning (shuffle 1; partial agg map-side)
+    # ---- term df + stop/hot-term identification (shuffle 1, one pass)
+    # both the stop set (df > stop_term_limit) and the skew head
+    # (df > hot_df_threshold) come from a single collect of the Zipf head
     term_df = tokens.groupBy("term").agg(F.sum("dfc").alias("df"))
-    stop_terms = term_df.filter(F.col("df") > stop_term_limit).select("term")
-    # the stop set is the Zipf head only — small by construction -> broadcast
-    stop_terms.write.mode("overwrite").parquet(os.path.join(out_dir, "stop_terms"))
-    stop_terms = spark.read.parquet(os.path.join(out_dir, "stop_terms"))
-    n_stop = stop_terms.count()
-    stop_sample = [r.term for r in stop_terms.limit(100).collect()]
-    live = tokens.join(F.broadcast(stop_terms), "term", "left_anti")
+    head_rows = term_df.filter(
+        F.col("df") > min(hot_df_threshold, stop_term_limit)
+    ).collect()
+    stop_rows = [r.term for r in head_rows if r.df > stop_term_limit]
+    hot_rows = [
+        r.term for r in head_rows if hot_df_threshold < r.df <= stop_term_limit
+    ]
+    n_stop = len(stop_rows)
+    stop_sample = stop_rows[:100]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    stop_dir = os.path.join(out_dir, "stop_terms")
+    os.makedirs(stop_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"term": pa.array(stop_rows, type=pa.string())}),
+        os.path.join(stop_dir, "part-0.parquet"),
+    )
+    if n_stop:
+        stop_df = spark.createDataFrame([(t,) for t in stop_rows], "term string")
+        live = tokens.join(F.broadcast(stop_df), "term", "left_anti")
+    else:
+        live = tokens
     _mark("term_df_stop")
 
-    # ---- doc stats (shuffle 2)
+    # ---- doc stats (shuffle 2) + prefixes: independent of the postings
+    # dataflow, so they run as concurrent Spark jobs from worker threads —
+    # their stages fill scheduler gaps in the postings build (free at
+    # saturation, real wall-clock win at high parallelism)
+    from concurrent.futures import ThreadPoolExecutor
+
     n_docs_total = docs.count()
-    dl_df = live.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    doc_stats = (
-        docs.select("doc_id", "doc_key")
-        .join(dl_df, "doc_id", "left")
-        .fillna({"dl": 0})
-        .select("doc_id", "doc_key", F.col("dl").cast("double"))
+
+    def _doc_stats_job() -> float:
+        dl_df = live.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        doc_stats = (
+            docs.select("doc_id", "doc_key")
+            .join(dl_df, "doc_id", "left")
+            .fillna({"dl": 0})
+            .select("doc_id", "doc_key", F.col("dl").cast("double"))
+        )
+        doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
+        written = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+        return written.agg(F.sum("dl")).collect()[0][0] or 0.0
+
+    pool = ThreadPoolExecutor(max_workers=2)
+    fut_doc_stats = pool.submit(_doc_stats_job)
+    fut_prefixes = (
+        pool.submit(_build_prefixes, docs, out_dir, max_prefix_docs) if aux else None
     )
-    doc_stats.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_stats"))
-    doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
-    sum_dl = doc_stats.agg(F.sum("dl")).collect()[0][0] or 0.0
-    avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
-    _mark("doc_stats")
+    _mark("doc_stats_submit")
 
     # ---- postings: skew-aware agg + encode
     # (doc_id, tf) packed into one BIGINT (doc_id<<8 | tf): aggregation
     # runs on primitive long arrays (no struct boxing), one array_sort at
     # the end orders by doc_id (tf sits in the low bits; doc_ids are
     # unique per term so ordering is unaffected).
-    # Skew: only terms with df above hot_df_threshold (the Zipf head,
-    # identified from the already-computed term_df) take the salted
-    # two-stage path; the long tail aggregates in a single shuffle.
-    hot_terms = term_df.filter(
-        (F.col("df") > hot_df_threshold) & (F.col("df") <= stop_term_limit)
-    ).select("term")
-    packed = live.withColumn("packed", F.shiftleft(F.col("doc_id"), 8) + F.col("tf"))
+    packed = live.withColumn(
+        "packed", F.shiftleft(F.col("doc_id"), 8) + F.col("tf")
+    ).withColumn(
+        # crc32 (not xxhash64): the query driver computes the same bucket in
+        # pure Python (zlib.crc32) for partition pruning on point lookups
+        "bucket",
+        F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
+    )
 
-    cold = (
-        packed.join(F.broadcast(hot_terms), "term", "left_anti")
-        .groupBy("term")
-        .agg(
+    if strategy == "salted-agg":
+        # Alternative physical plan kept for comparison: collect_list
+        # aggregation with explicit salting of the Zipf head (terms with
+        # df > hot_df_threshold, already collected with the stop set) —
+        # two-stage partial merge for hot terms, single-stage for the tail.
+        if hot_rows:
+            hot_terms = spark.createDataFrame([(t,) for t in hot_rows], "term string")
+            cold_src = packed.join(F.broadcast(hot_terms), "term", "left_anti")
+            hot_src = packed.join(F.broadcast(hot_terms), "term", "left_semi")
+        else:
+            cold_src, hot_src = packed, None
+        cold = cold_src.groupBy("term", "bucket").agg(
             F.array_sort(F.collect_list("packed")).alias("postings"),
             F.sum("dfc").alias("df"),
         )
-    )
-    hot = (
-        packed.join(F.broadcast(hot_terms), "term", "left_semi")
-        .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(salts)).cast("int"))
-        .groupBy("term", "salt")
-        .agg(F.collect_list("packed").alias("part"), F.sum("dfc").alias("pdf"))
-        .groupBy("term")
-        .agg(
-            F.array_sort(F.flatten(F.collect_list("part"))).alias("postings"),
-            F.sum("pdf").alias("df"),
-        )
-    )
-    merged = (
-        cold.unionByName(hot)
-        # crc32 (not xxhash64): the query driver computes the same bucket in
-        # pure Python (zlib.crc32) for partition pruning on point lookups
-        .withColumn("bucket", F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"))
-    )
+        merged = cold
+        if hot_src is not None:
+            hot = (
+                hot_src.withColumn(
+                    "salt", F.pmod(F.col("doc_id"), F.lit(salts)).cast("int")
+                )
+                .groupBy("term", "bucket", "salt")
+                .agg(F.collect_list("packed").alias("part"), F.sum("dfc").alias("pdf"))
+                .groupBy("term", "bucket")
+                .agg(
+                    F.array_sort(F.flatten(F.collect_list("part"))).alias("postings"),
+                    F.sum("pdf").alias("df"),
+                )
+            )
+            merged = cold.unionByName(hot)
 
     postings_path = os.path.join(out_dir, "postings")
     group_size = max(1, n_buckets // max(1, bucket_groups))
@@ -254,6 +380,21 @@ def build_index(
         list(range(g, min(g + group_size, n_buckets)))
         for g in range(0, n_buckets, group_size)
     ]
+    if strategy == "salted-agg":
+        # feed the aggregated arrays through the same streaming encoder by
+        # re-exposing them as sorted rows (df rides on the first row)
+        src = (
+            merged.select(
+                "term", "bucket", "df", F.posexplode("postings").alias("pos", "packed")
+            )
+            .withColumn(
+                "dfc", F.when(F.col("pos") == 0, F.col("df")).otherwise(F.lit(0))
+            )
+            .select("term", "packed", "dfc", "bucket")
+        )
+    else:
+        src = packed.select("term", "packed", "dfc", "bucket")
+
     bucket_metrics = []
     for group in groups:
         todo = [b for b in group if b not in done_buckets]
@@ -261,10 +402,18 @@ def build_index(
             continue
         g0 = time.time()
         part_df = (
-            merged.filter(F.col("bucket").isin(todo))
+            src.filter(F.col("bucket").isin(todo))
             .repartition(max(len(todo), 1), "bucket")
+            # leading 64-bit hash makes the Tungsten sort radix-friendly;
+            # term as secondary key keeps equal terms contiguous under
+            # hash collisions (encoder groups by term change, so the
+            # arbitrary hash order across terms is fine)
+            .sortWithinPartitions(F.xxhash64("term"), "term", "packed")
+            .mapInPandas(_encode_sorted_stream(), schema=POSTINGS_SCHEMA)
+            # re-sort the compact per-term rows by term so parquet
+            # row-group min/max stats stay selective for point lookups
+            # (cheap: one row per term, vs the per-posting stream above)
             .sortWithinPartitions("term")
-            .mapInPandas(_encode_partition(n_buckets), schema=POSTINGS_SCHEMA)
         )
         # non-resume runs cleared the dir up front, so append is always safe
         part_df.write.mode("append").partitionBy("bucket").parquet(postings_path)
@@ -287,15 +436,22 @@ def build_index(
         done_buckets.update(todo)
 
     _mark("postings")
-    # ---- prefix postings (for prefix-precedence candidates)
-    _build_prefixes(docs, out_dir, max_prefix_docs)
+    # join the concurrent jobs (propagates their exceptions)
+    sum_dl = fut_doc_stats.result()
+    avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
+    if fut_prefixes is not None:
+        fut_prefixes.result()
+    pool.shutdown()
+    _mark("join_doc_stats_prefixes")
+    if aux:
+        # ---- LD1 symmetric-delete variants over the live dictionary
+        # (needs the final postings, so it runs after the join)
+        _build_variants(spark, os.path.join(out_dir, "postings"), out_dir)
+        _mark("variants")
 
-    _mark("prefixes")
-    # ---- LD1 symmetric-delete variants over the live dictionary
-    _build_variants(spark, os.path.join(out_dir, "postings"), out_dir)
-
-    _mark("variants")
-    if not keep_tokens:
+    if tokens_storage == "memory":
+        tokens.unpersist()
+    elif not keep_tokens:
         shutil.rmtree(tokens_path, ignore_errors=True)
 
     wall = time.time() - t0
@@ -314,6 +470,7 @@ def build_index(
         "n_buckets": n_buckets,
         "salts": salts,
         "hot_df_threshold": hot_df_threshold,
+        "strategy": strategy,
         "max_prefix_docs": max_prefix_docs,
         "build_wall_sec": wall,
         "docs_per_sec": (n_docs_total / wall) if wall > 0 else 0.0,

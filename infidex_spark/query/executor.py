@@ -64,8 +64,11 @@ class IndexReader:
         self._postings = ds.dataset(
             os.path.join(index_dir, "postings"), partitioning="hive"
         )
-        self._prefixes = ds.dataset(os.path.join(index_dir, "prefixes"))
-        self._variants = ds.dataset(os.path.join(index_dir, "variants"))
+        # aux structures are optional (build_index(aux=False))
+        pfx = os.path.join(index_dir, "prefixes")
+        var = os.path.join(index_dir, "variants")
+        self._prefixes = ds.dataset(pfx) if os.path.isdir(pfx) else None
+        self._variants = ds.dataset(var) if os.path.isdir(var) else None
         self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))
         # stop terms: df was driven past the limit; they must neither score
         # nor fuzzy-expand (reference keeps them as df=-1 tombstones)
@@ -116,6 +119,8 @@ class IndexReader:
         return out
 
     def fetch_prefix(self, prefix: str) -> tuple[int, np.ndarray | None]:
+        if self._prefixes is None:
+            return 0, None
         tbl = self._prefixes.to_table(filter=ds.field("prefix") == prefix)
         if tbl.num_rows == 0:
             return 0, None
@@ -126,6 +131,8 @@ class IndexReader:
     def fetch_variant_terms(self, token: str) -> list[str]:
         """All dictionary terms within plain Levenshtein distance 1 of
         token, via the symmetric-delete table."""
+        if self._variants is None:
+            return []
         probes = [token] + [token[:i] + token[i + 1 :] for i in range(len(token))]
         tbl = self._variants.to_table(filter=ds.field("variant").isin(probes))
         cands: set[str] = set()
@@ -160,13 +167,111 @@ class IndexReader:
         )
 
 
+class MultiReader:
+    """Reader over a main segment plus delta segments (streaming ingest)
+    with tombstone deletes. Same interface as IndexReader; per-term data
+    merges across segments (global df = sum; doc-id spaces are disjoint
+    and ordered, so concatenated postings stay sorted). Terms stopped in
+    ANY segment are treated as stopped globally (their true df is
+    unrecoverable there — conservative, matches the reference's permanent
+    stop tombstones)."""
+
+    def __init__(self, index_dir: str):
+        from infidex_spark.streaming.incremental import (
+            _segment_dirs,
+            load_tombstones,
+        )
+
+        seg_dirs = _segment_dirs(index_dir)
+        if not seg_dirs:
+            raise FileNotFoundError(f"no index segments under {index_dir}")
+        self.readers = [IndexReader(d) for d in seg_dirs]
+        r0 = self.readers[0]
+        self.total_docs = sum(r.total_docs for r in self.readers)
+        sum_dl = sum(r.manifest.get("sum_dl", 0.0) for r in self.readers)
+        self.avgdl = (
+            np.float32(np.float32(sum_dl) / np.float32(self.total_docs))
+            if self.total_docs
+            else np.float32(0.0)
+        )
+        self.stop_term_limit = r0.stop_term_limit
+        self.sizes, self.start_pad = r0.sizes, r0.start_pad
+        self.stop_terms = frozenset().union(*(r.stop_terms for r in self.readers))
+        self.tombstones = frozenset(load_tombstones(index_dir).tolist())
+
+    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+        merged: dict[str, TermPostings] = {}
+        for r in self.readers:
+            for term, tp in r.fetch_terms(terms).items():
+                prev = merged.get(term)
+                if prev is None:
+                    merged[term] = tp
+                else:
+                    merged[term] = TermPostings(
+                        term=term,
+                        df=prev.df + tp.df,
+                        doc_ids=np.concatenate([prev.doc_ids, tp.doc_ids]),
+                        tfs=np.concatenate([prev.tfs, tp.tfs]),
+                        block_last_doc=np.concatenate(
+                            [prev.block_last_doc, tp.block_last_doc]
+                        ),
+                        block_max_w=np.concatenate(
+                            [prev.block_max_w, tp.block_max_w]
+                        ),
+                    )
+        return merged
+
+    def fetch_prefix(self, prefix: str) -> tuple[int, np.ndarray | None]:
+        total, parts = 0, []
+        for r in self.readers:
+            n, ids = r.fetch_prefix(prefix)
+            total += n
+            if ids is not None:
+                parts.append(ids)
+        if total == 0:
+            return 0, None
+        ids = np.concatenate(parts) if parts else None
+        if ids is not None and ids.size < total:
+            ids = None  # some segment withheld its (hot) list
+        return total, ids
+
+    def fetch_variant_terms(self, token: str) -> list[str]:
+        out: set[str] = set()
+        for r in self.readers:
+            out.update(r.fetch_variant_terms(token))
+        return sorted(out)
+
+    def doc_lengths(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        dl = np.empty(doc_ids.size, dtype=np.float32)
+        keys = np.empty(doc_ids.size, dtype=np.int64)
+        done = np.zeros(doc_ids.size, dtype=bool)
+        for r in self.readers:
+            if r._dl_cache is None:
+                continue
+            ids, rkeys, rdls = r._dl_cache
+            pos = np.searchsorted(ids, doc_ids)
+            pos_c = np.clip(pos, 0, max(ids.size - 1, 0))
+            hit = (ids.size > 0) & (ids[pos_c] == doc_ids) & ~done
+            dl[hit] = rdls[pos_c[hit]]
+            keys[hit] = rkeys[pos_c[hit]]
+            done |= hit
+        if not done.all():
+            raise KeyError("doc_ids not found in any segment")
+        return dl, keys
+
+
 class QueryExecutor:
     """Stage-1 BM25 retrieval matching the kernel oracle rank-for-rank."""
 
-    def __init__(self, reader: IndexReader):
+    def __init__(self, reader):
         self.r = reader
 
-    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def search(
+        self, query: str, k: int = 10, use_wand: bool = True
+    ) -> list[tuple[int, float]]:
+        """Top-k (doc_key, score). use_wand=True routes scoring through the
+        block-max MaxScore pruner (lossless — identical results, tested);
+        False scores every candidate exhaustively."""
         q = normalize(query.strip()).lower()
         if not q or self.r.total_docs == 0:
             return []
@@ -206,9 +311,27 @@ class QueryExecutor:
         if cand.size == 0:
             return []
 
-        scores = np.zeros(cand.size, dtype=np.float32)
         dl, keys = self.r.doc_lengths(cand)
         dl = np.where(dl <= 0, np.float32(1.0), dl)
+
+        # soft deletes: tombstoned docs never reach scoring (reference:
+        # Document.Deleted checked in the scoring loop)
+        tomb = getattr(self.r, "tombstones", None)
+        if tomb:
+            live = ~np.isin(keys, np.fromiter(tomb, dtype=np.int64, count=len(tomb)))
+            cand, dl, keys = cand[live], dl[live], keys[live]
+            if cand.size == 0:
+                return []
+
+        if use_wand:
+            from infidex_spark.query.wand import wand_topk
+
+            pos, sc = wand_topk(cand, active, idfs, max_scores, dl, avgdl, k)
+            kk = keys[pos]
+            order = np.lexsort((kk, -sc))[:k]
+            return [(int(kk[i]), float(sc[i])) for i in order]
+
+        scores = np.zeros(cand.size, dtype=np.float32)
         for i, t in enumerate(active):
             pos = np.searchsorted(t.doc_ids, cand)
             pos_c = np.clip(pos, 0, max(t.doc_ids.size - 1, 0))

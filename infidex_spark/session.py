@@ -49,6 +49,13 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # collect_list/collect_set aggregations (posting-list build) use
+        # ObjectHashAggregate, which silently falls back to slow sort-based
+        # aggregation once a task sees >128 distinct keys — catastrophic
+        # for a groupBy(term) over a large vocabulary (3x slower, doesn't
+        # scale with cores). Keys per task are bounded by vocab/partitions,
+        # so a 10M-key hash map is safe and keeps the agg hash-based.
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,168 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence: the same index build at two parallelism
+levels (local[N] and local[4N]) on byte-identical input.
+
+The target environment is a multi-executor cluster; this sandbox has one
+host, so per the project brief the two-cluster-size criterion is
+evidenced by core-count scaling. Experimental design (each point cost us
+a debugging session, documented here so it survives):
+
+- each level runs in its own subprocess (fresh JVM) *pinned with taskset
+  to exactly N cores* — an unpinned local[N] JVM plus its N Python
+  workers otherwise spreads over ~2N physical cores and makes the low
+  level look unfairly fast;
+- N=2 vs 4N=8 by default: this host carries a noisy co-tenant (~10 idle-
+  looking cores of foreign load); the OS scheduler pushes that load onto
+  cores outside small masks, so small masks stay clean while local[32]
+  absorbs all of it — 8/32 comparisons are structurally biased;
+- both levels run the identical DAG: fixed shuffle partitions and bucket
+  count, same pre-materialized input parquet, Python workers warmed
+  (imports) before the measured window;
+- median of `reps` alternating runs per level (host noise is ~10-15%).
+
+Writes SCALING.json (picked up by bench.py) and refreshes the scaling
+section in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+LOW = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
+HIGH = 4 * LOW
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+SHUFFLE_PARTITIONS = 64
+N_BUCKETS = 64
+INPUT = os.path.join(REPO, "_work", f"scaling_input_{N_DOCS}")
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from infidex_spark.session import get_spark
+from infidex_spark.build.indexer import build_index
+
+cpus = int(sys.argv[1])
+spark = get_spark(app_name=f"scaling-{{cpus}}", cpus=cpus,
+                  shuffle_partitions={shuffle})
+docs = spark.read.parquet({inp!r})
+docs.count()  # warm file listing/footers outside the window
+# warm python workers (numpy/pandas imports) outside the window
+docs.limit(20000).mapInPandas(lambda it: (p[["doc_id"]] for p in it), "doc_id long").count()
+t0 = time.time()
+m = build_index(spark, docs, os.path.join({repo!r}, "_work", f"scaling_idx_{{cpus}}"),
+                n_buckets={buckets})
+wall = time.time() - t0
+spark.stop()
+print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": wall,
+                               "docs_per_sec": m["total_docs"] / wall,
+                               "step_secs": m["step_secs"]}}))
+"""
+
+
+def _prepare_input() -> None:
+    if os.path.exists(os.path.join(INPUT, "_SUCCESS")):
+        return
+    from infidex_spark.session import get_spark
+    from infidex_spark.webtext import generate_webtext, with_doc_ids
+
+    spark = get_spark(app_name="scaling-input", cpus=32)
+    wt = generate_webtext(spark, N_DOCS, seed=42)
+    docs = with_doc_ids(wt).selectExpr("doc_id", "doc_id as doc_key", "text")
+    # fixed partition count so both levels see identical file layout
+    docs.repartition(128, "doc_id").write.mode("overwrite").parquet(INPUT)
+    spark.stop()
+
+
+def _run_level(cpus: int) -> dict:
+    code = _CHILD.format(
+        repo=REPO, inp=INPUT, shuffle=SHUFFLE_PARTITIONS, buckets=N_BUCKETS
+    )
+    mask = f"0-{cpus - 1}" if cpus > 1 else "0"
+    proc = subprocess.run(
+        ["taskset", "-c", mask, sys.executable, "-c", code, str(cpus)],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"no RESULT from cpus={cpus}:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    _prepare_input()
+    lows, highs = [], []
+    for _ in range(REPS):  # alternate levels so host noise hits both
+        lows.append(_run_level(LOW))
+        highs.append(_run_level(HIGH))
+    low_wall = statistics.median(r["wall_sec"] for r in lows)
+    high_wall = statistics.median(r["wall_sec"] for r in highs)
+    low_dps = N_DOCS / low_wall
+    high_dps = N_DOCS / high_wall
+    efficiency = high_dps / (4.0 * low_dps)
+    result = {
+        "n_docs": N_DOCS,
+        "reps": REPS,
+        "low": {"cpus": LOW, "wall_sec": round(low_wall, 2),
+                "docs_per_sec": round(low_dps, 1),
+                "all_walls": [round(r["wall_sec"], 2) for r in lows]},
+        "high": {"cpus": HIGH, "wall_sec": round(high_wall, 2),
+                 "docs_per_sec": round(high_dps, 1),
+                 "all_walls": [round(r["wall_sec"], 2) for r in highs]},
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "meets_target": efficiency >= 0.8,
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "note": (
+            "identical input + DAG (fixed shuffle partitions/buckets), "
+            "fresh JVM per run, taskset-pinned to exactly N cores, warm "
+            "python workers, median of alternating reps; "
+            "efficiency = R_4N/(4*R_N)"
+        ),
+    }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    _update_baseline(result)
+    print(json.dumps(result))
+
+
+def _update_baseline(result: dict) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    section = f"""
+## Measured scaling evidence (this repo, auto-updated by scaling.py)
+
+Index build over {result['n_docs']} identical synthetic webtext docs;
+fresh JVM per run, taskset-pinned to exactly N cores (a single host
+standing in for the two cluster sizes), identical DAG at both levels,
+median of {result['reps']} alternating runs:
+
+| parallelism | wall sec (median) | docs/sec |
+|---|---|---|
+| {result['low']['cpus']} cores (N) | {result['low']['wall_sec']} | {result['low']['docs_per_sec']} |
+| {result['high']['cpus']} cores (4N) | {result['high']['wall_sec']} | {result['high']['docs_per_sec']} |
+
+Scaling efficiency R_4N/(4*R_N) = **{result['scaling_efficiency']}** (target >= 0.8: {'met' if result['meets_target'] else 'NOT met'}), measured {result['measured_at']}.
+"""
+    with open(path) as f:
+        content = f.read()
+    marker = "\n## Measured scaling evidence"
+    if marker in content:
+        content = content[: content.index(marker)]
+    with open(path, "w") as f:
+        f.write(content.rstrip("\n") + "\n" + section)
+
+
+if __name__ == "__main__":
+    main()

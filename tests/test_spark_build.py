@@ -95,3 +95,15 @@ def test_resume_skips_done_buckets(spark, reference_docs, tmp_path):
     assert m2["bucket_groups"] == []
     ex = QueryExecutor(IndexReader(out))
     assert ex.search("batman", 3)[0][0] == 6
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_wand_equals_exhaustive(built_index, query):
+    out, _ = built_index
+    ex = QueryExecutor(IndexReader(out))
+    wand = ex.search(query, 10, use_wand=True)
+    full = ex.search(query, 10, use_wand=False)
+    assert [d for d, _ in wand] == [d for d, _ in full], (wand, full)
+    np.testing.assert_allclose(
+        [s for _, s in wand], [s for _, s in full], rtol=1e-5
+    )
