@@ -69,6 +69,19 @@ class IndexReader:
         var = os.path.join(index_dir, "variants")
         self._prefixes = ds.dataset(pfx) if os.path.isdir(pfx) else None
         self._variants = ds.dataset(var) if os.path.isdir(var) else None
+        # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
+        # memory so the candidate selector only touches disk for the rare
+        # prefix whose doc list actually qualifies
+        self._prefix_counts: dict[str, int] | None = None
+        if self._prefixes is not None:
+            try:
+                tbl = self._prefixes.to_table(columns=["prefix", "n_docs"])
+                if tbl.num_rows <= 5_000_000:
+                    self._prefix_counts = dict(
+                        zip(tbl["prefix"].to_pylist(), tbl["n_docs"].to_pylist())
+                    )
+            except Exception:
+                self._prefix_counts = None
         self._doc_stats = ds.dataset(os.path.join(index_dir, "doc_stats"))
         # stop terms: df was driven past the limit; they must neither score
         # nor fuzzy-expand (reference keeps them as df=-1 tombstones)
@@ -118,8 +131,16 @@ class IndexReader:
             )
         return out
 
+    def prefix_count(self, prefix: str) -> int:
+        if self._prefix_counts is not None:
+            return self._prefix_counts.get(prefix, 0)
+        n, _ = self.fetch_prefix(prefix)
+        return n
+
     def fetch_prefix(self, prefix: str) -> tuple[int, np.ndarray | None]:
         if self._prefixes is None:
+            return 0, None
+        if self._prefix_counts is not None and prefix not in self._prefix_counts:
             return 0, None
         tbl = self._prefixes.to_table(filter=ds.field("prefix") == prefix)
         if tbl.num_rows == 0:
@@ -234,6 +255,9 @@ class MultiReader:
         if ids is not None and ids.size < total:
             ids = None  # some segment withheld its (hot) list
         return total, ids
+
+    def prefix_count(self, prefix: str) -> int:
+        return sum(r.prefix_count(prefix) for r in self.readers)
 
     def fetch_variant_terms(self, token: str) -> list[str]:
         out: set[str] = set()
@@ -405,13 +429,15 @@ class QueryExecutor:
 
     def _prefix_candidates(self, q: str, topk: int) -> np.ndarray | None:
         for plen in range(min(len(q), 3), 0, -1):
-            n, ids = self.r.fetch_prefix(q[:plen])
-            if n == 0:
+            # cheap in-memory count first; fetch the doc list only when the
+            # prefix actually qualifies
+            n = self.r.prefix_count(q[:plen])
+            if n == 0 or n > topk * 20:
                 continue
-            if n > topk * 20:
-                continue
-            if n <= topk * 10 and ids is not None:
-                return ids
+            if n <= topk * 10:
+                _, ids = self.r.fetch_prefix(q[:plen])
+                if ids is not None:
+                    return ids
         return None
 
     def _disjunctive(
