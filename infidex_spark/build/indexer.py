@@ -91,14 +91,22 @@ def tokenize_docs(
     docs: DataFrame,
     sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
     start_pad: int = DEFAULT_START_PAD,
+    synonym_map=None,
 ) -> DataFrame:
-    """docs(doc_id, text) -> tokens(doc_id, term, occ), Arrow-vectorized."""
+    """docs(doc_id, text) -> tokens(doc_id, term, occ), Arrow-vectorized.
+    synonym_map (kernel.synonyms.SynonymMap) canonicalizes word tokens
+    before shingling, exactly as at query time."""
+
+    from infidex_spark.kernel.normalize import normalize_series
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
             for frame in tokenize_batch_frames(
-                pdf["text"], sizes=sizes, start_pad=start_pad
+                texts, sizes=sizes, start_pad=start_pad, prenormalized=True
             ):
                 frame["doc_id"] = ids[frame["doc_idx"].to_numpy()]
                 yield frame[["doc_id", "term", "occ"]]
@@ -213,6 +221,7 @@ def build_index(
     aux: bool = True,
     tokens_storage: str = "auto",
     strategy: str = "sortmerge",
+    synonym_map=None,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
 
@@ -257,7 +266,7 @@ def build_index(
     if tokens_storage == "auto":
         tokens_storage = "parquet" if (resume or bucket_groups > 1) else "memory"
     tokens_path = os.path.join(out_dir, "tokens")
-    tokens = tokenize_docs(docs, sizes, start_pad).withColumn(
+    tokens = tokenize_docs(docs, sizes, start_pad, synonym_map).withColumn(
         "tf", F.least(F.col("occ"), F.lit(cap))
     )
     # df contribution per (term, doc): occ - successful accumulates
@@ -325,7 +334,9 @@ def build_index(
     pool = ThreadPoolExecutor(max_workers=2)
     fut_doc_stats = pool.submit(_doc_stats_job)
     fut_prefixes = (
-        pool.submit(_build_prefixes, docs, out_dir, max_prefix_docs) if aux else None
+        pool.submit(_build_prefixes, docs, out_dir, max_prefix_docs, synonym_map)
+        if aux
+        else None
     )
     _mark("doc_stats_submit")
 
@@ -476,6 +487,7 @@ def build_index(
         "docs_per_sec": (n_docs_total / wall) if wall > 0 else 0.0,
         "bucket_groups": bucket_metrics,
         "step_secs": step_secs,
+        "synonyms": synonym_map.to_json() if synonym_map is not None else [],
         "lineage": {
             "input_columns": docs.columns,
             "spark_version": spark.version,
@@ -496,7 +508,9 @@ _PREFIX_SCHEMA = T.StructType(
 )
 
 
-def _build_prefixes(docs: DataFrame, out_dir: str, max_prefix_docs: int) -> None:
+def _build_prefixes(
+    docs: DataFrame, out_dir: str, max_prefix_docs: int, synonym_map=None
+) -> None:
     """prefix(1..3 chars of each word) -> distinct doc list.
 
     Lists longer than max_prefix_docs store only the count (the query-time
@@ -513,6 +527,8 @@ def _build_prefixes(docs: DataFrame, out_dir: str, max_prefix_docs: int) -> None
 
         for pdf in batches:
             texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
             words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
             words = words[words.str.len() >= 1]
             if not len(words):

@@ -47,6 +47,29 @@ MOVIE_QUERIES: list[tuple[str, str, int]] = [
     ("goodfelas_typo", "goodfelas", 10),
 ]
 
+# Czech school names with heavy diacritics (schools.json shape from the
+# reference test suite) — exercises the full fold table end to end.
+SCHOOL_DOCS: list[tuple[int, str]] = [
+    (1, "1. mateřská škola Březnice"),
+    (2, "Základní škola a Mateřská škola Žďár nad Sázavou"),
+    (3, "Gymnázium Jana Keplera Praha"),
+    (4, "Střední průmyslová škola elektrotechnická Plzeň"),
+    (5, "Vyšší odborná škola uměleckoprůmyslová Říčany"),
+    (6, "Konzervatoř Pardubice"),
+    (7, "Základní umělecká škola Český Krumlov"),
+    (8, "Mateřská škola Čtyřlístek Třebíč"),
+    (9, "Obchodní akademie Náchod"),
+    (10, "Jazyková škola s právem státní jazykové zkoušky Brno"),
+]
+
+SCHOOL_QUERIES: list[tuple[str, str, int]] = [
+    ("materska_skola", "materska skola", 10),  # accentless query
+    ("breznice", "breznice", 10),
+    ("gymnazium_praha", "gymnázium praha", 10),  # accented query
+    ("zakladni_umelecka", "zakladni umelecka", 10),
+    ("trebic_typo", "trebik", 10),  # fold + LD1 fuzzy
+]
+
 _GENRES = ["Drama", "Sci-Fi", "Fantasy", "Horror", "Action", "Comedy"]
 
 _BASE_TITLES = [

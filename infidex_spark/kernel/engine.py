@@ -80,7 +80,9 @@ class KernelIndex:
         index_sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
         start_pad: int = DEFAULT_START_PAD,
         stop_pad: int = DEFAULT_STOP_PAD,
+        synonym_map=None,
     ):
+        self.synonym_map = synonym_map
         self.field_weight = float(np.float32(field_weight))
         self.stop_term_limit = stop_term_limit
         self.index_sizes = index_sizes
@@ -103,6 +105,8 @@ class KernelIndex:
         doc_id = len(self.doc_keys)
         self.doc_keys.append(key)
         prepped = normalize(text).lower()
+        if self.synonym_map is not None and self.synonym_map.has_mappings:
+            prepped = self.synonym_map.canonicalize_text(prepped)
         for term_text, _pos in index_tokens(
             prepped, self.index_sizes, self.start_pad, self.stop_pad
         ):
@@ -160,6 +164,8 @@ class KernelIndex:
         """Top-k (doc_key, bm25_score) for the query, rank-identical to the
         reference's Stage-1 SearchWithMaxScore output."""
         q = normalize(query.strip()).lower()
+        if self.synonym_map is not None and self.synonym_map.has_mappings:
+            q = self.synonym_map.canonicalize_text(q)
         if not q:
             return []
         total_docs = len(self.doc_keys)

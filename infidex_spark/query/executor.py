@@ -61,6 +61,9 @@ class IndexReader:
         self.stop_term_limit = int(self.manifest["stop_term_limit"])
         self.sizes = tuple(self.manifest["index_sizes"])
         self.start_pad = int(self.manifest["start_pad"])
+        from infidex_spark.kernel.synonyms import SynonymMap
+
+        self.synonym_map = SynonymMap.from_json(self.manifest.get("synonyms"))
         self._postings = ds.dataset(
             os.path.join(index_dir, "postings"), partitioning="hive"
         )
@@ -219,6 +222,7 @@ class MultiReader:
         self.sizes, self.start_pad = r0.sizes, r0.start_pad
         self.stop_terms = frozenset().union(*(r.stop_terms for r in self.readers))
         self.tombstones = frozenset(load_tombstones(index_dir).tolist())
+        self.synonym_map = r0.synonym_map
 
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
         merged: dict[str, TermPostings] = {}
@@ -297,6 +301,9 @@ class QueryExecutor:
         block-max MaxScore pruner (lossless — identical results, tested);
         False scores every candidate exhaustively."""
         q = normalize(query.strip()).lower()
+        syn = getattr(self.r, "synonym_map", None)
+        if syn is not None and syn.has_mappings:
+            q = syn.canonicalize_text(q)
         if not q or self.r.total_docs == 0:
             return []
         tokens = search_tokens(q, self.r.sizes, self.r.start_pad)

@@ -9,7 +9,7 @@ import os
 import numpy as np
 import pytest
 
-from infidex_spark.fixtures import REFERENCE_DOCS, movie_docs
+from infidex_spark.fixtures import REFERENCE_DOCS, SCHOOL_DOCS, movie_docs
 from infidex_spark.kernel.engine import KernelIndex
 
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "golden")
@@ -18,6 +18,7 @@ GOLDEN_FILES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.json")))
 CORPora = {
     "reference": REFERENCE_DOCS,
     "movies": movie_docs(),
+    "schools": SCHOOL_DOCS,
 }
 
 

@@ -19,6 +19,8 @@ from infidex_spark.fixtures import (
     MOVIE_QUERIES,
     REFERENCE_DOCS,
     REFERENCE_QUERIES,
+    SCHOOL_DOCS,
+    SCHOOL_QUERIES,
     movie_docs,
 )
 from infidex_spark.kernel.engine import KernelIndex
@@ -49,3 +51,4 @@ def emit(corpus_name: str, docs, queries) -> None:
 if __name__ == "__main__":
     emit("reference", REFERENCE_DOCS, REFERENCE_QUERIES)
     emit("movies", movie_docs(), MOVIE_QUERIES)
+    emit("schools", SCHOOL_DOCS, SCHOOL_QUERIES)
