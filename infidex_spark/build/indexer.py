@@ -508,14 +508,18 @@ _PREFIX_SCHEMA = T.StructType(
 )
 
 
+_CHAMPION_LIST_SIZE = 64  # ShortQueryResolver.ChampionListSize
+
+
 def _build_prefixes(
     docs: DataFrame, out_dir: str, max_prefix_docs: int, synonym_map=None
 ) -> None:
-    """prefix(1..3 chars of each word) -> distinct doc list.
-
-    Lists longer than max_prefix_docs store only the count (the query-time
-    selector skips any prefix with pop > topk*20 anyway, so hot prefixes
-    never need their doc lists)."""
+    """Positional prefix index (B6) + champion lists (B7) + doc metadata
+    (B8). Per (prefix of 1..3 chars, doc): first token position, word-start
+    count, exact-token counts — everything the short-query scorer (D10)
+    needs. Hot prefixes (pop > max_prefix_docs) keep only their count and
+    champion list (top-64 by the short-query score); the query path never
+    needs a hot prefix's full posting rows."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from infidex_spark.kernel.normalize import normalize_series
@@ -534,7 +538,16 @@ def _build_prefixes(
             if not len(words):
                 continue
             ids = pdf["doc_id"].to_numpy()
-            wdoc = ids[words.index.to_numpy(np.int64)]
+            didx = words.index.to_numpy(np.int64)
+            wdoc = ids[didx]
+            # token ordinal within each doc (explode preserves order)
+            n = didx.size
+            arange = np.arange(n)
+            doc_change = np.empty(n, dtype=bool)
+            doc_change[0] = True
+            doc_change[1:] = didx[1:] != didx[:-1]
+            doc_start = np.maximum.accumulate(np.where(doc_change, arange, 0))
+            wpos = arange - doc_start
             blob = "".join(words.tolist())
             cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
             wlen = words.str.len().to_numpy(np.int64)
@@ -546,21 +559,34 @@ def _build_prefixes(
                     continue
                 keys = _pack_keys(cps, starts[sel], plen)
                 docs_sel = wdoc[sel]
-                # dedupe (doc, key) pairs map-side before the shuffle
-                order = np.lexsort((keys, docs_sel))
+                pos_sel = wpos[sel]
+                exact_sel = (wlen[sel] == plen).astype(np.int64)
+                # aggregate per (key, doc) with one lexsort + reduceat
+                order = np.lexsort((pos_sel, keys, docs_sel))
                 keys, docs_sel = keys[order], docs_sel[order]
-                keep = np.empty(keys.size, dtype=bool)
-                keep[0] = True
-                keep[1:] = (keys[1:] != keys[:-1]) | (docs_sel[1:] != docs_sel[:-1])
-                keys, docs_sel = keys[keep], docs_sel[keep]
-                ukeys, inv = np.unique(keys, return_inverse=True)
+                pos_sel, exact_sel = pos_sel[order], exact_sel[order]
+                grp = np.empty(keys.size, dtype=bool)
+                grp[0] = True
+                grp[1:] = (keys[1:] != keys[:-1]) | (docs_sel[1:] != docs_sel[:-1])
+                gstart = np.flatnonzero(grp)
+                first_pos = pos_sel[gstart]  # sorted by pos within group
+                n_ws = np.diff(np.append(gstart, keys.size))
+                n_exact = np.add.reduceat(exact_sel, gstart)
+                first_exact = (
+                    np.add.reduceat(exact_sel * (pos_sel == 0), gstart) > 0
+                )
+                ukeys, inv = np.unique(keys[gstart], return_inverse=True)
                 frames.append(
                     pd.DataFrame(
                         {
                             "prefix": pd.Categorical.from_codes(
                                 inv, categories=_key_to_str(ukeys, plen)
                             ),
-                            "doc_id": docs_sel.astype(np.int64),
+                            "doc_id": docs_sel[gstart].astype(np.int64),
+                            "first_pos": first_pos.astype(np.int64),
+                            "n_ws": n_ws.astype(np.int64),
+                            "n_exact": n_exact.astype(np.int64),
+                            "first_exact": first_exact,
                         }
                     )
                 )
@@ -570,18 +596,45 @@ def _build_prefixes(
         [
             T.StructField("prefix", T.StringType(), False),
             T.StructField("doc_id", T.LongType(), False),
+            T.StructField("first_pos", T.LongType(), False),
+            T.StructField("n_ws", T.LongType(), False),
+            T.StructField("n_exact", T.LongType(), False),
+            T.StructField("first_exact", T.BooleanType(), False),
         ]
     )
-    # (prefix, doc_id) pairs are globally unique: each doc's rows come from
-    # exactly one Arrow batch and are deduped there -> plain count/collect,
-    # no distinct needed. persist() so extract runs once, not per-agg.
+    # rows are globally unique per (prefix, doc): each doc's words come
+    # from exactly one Arrow batch. persist() so extract runs once.
+    spark = docs.sparkSession
     pairs = (
         docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema).persist()
     )
-    # two-stage so hot prefixes (Zipf head) never funnel their full doc
-    # list through one reducer: count first, collect lists only for
-    # prefixes under the cap (the query-time selector skips hot prefixes
-    # by count alone).
+
+    # ---- doc metadata cache (B8): n_tokens + tiny normalized text
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _DELIM_SPLIT
+
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
+            words = texts.str.split(_DELIM_SPLIT, regex=True)
+            n_tokens = words.map(lambda ws: sum(1 for w in ws if w))
+            stripped = texts.str.strip()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_tokens.astype("int64"),
+                    "tiny_text": stripped.where(stripped.str.len() <= 3),
+                }
+            )
+
+    meta_schema = "doc_id long, n_tokens long, tiny_text string"
+    doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
+    doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
+    doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+
+    # ---- counts + capped positional rows
     counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
     small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
     lists = (
@@ -591,6 +644,43 @@ def _build_prefixes(
     )
     final = counts.join(lists, "prefix", "left").select("prefix", "n_docs", "doc_ids")
     final.write.mode("overwrite").parquet(os.path.join(out_dir, "prefixes"))
+    (
+        pairs.join(F.broadcast(small), "prefix", "left_semi")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "prefix_postings"))
+    )
+
+    # ---- champion lists (B7): top-64 per prefix by the short-query score
+    # (covers hot prefixes, whose full rows are not stored)
+    scored = pairs.join(doc_meta, "doc_id").join(
+        docs.select("doc_id", "doc_key"), "doc_id"
+    ).withColumn(
+        "precedence",
+        F.lit(128)
+        + F.when(F.col("first_pos") == 0, 64).otherwise(0)
+        + F.when((F.col("n_exact") > 0) | (F.col("n_tokens") <= 3), 32).otherwise(0)
+        + F.when(F.col("first_exact"), 16).otherwise(0)
+        + F.when(F.col("tiny_text") == F.col("prefix"), 8).otherwise(0),
+    ).withColumn(
+        "base",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(255),
+                (F.lit(255) - F.least(F.col("first_pos") * 16, F.lit(240)))
+                + F.least(F.col("n_ws") * 8, F.lit(32)),
+            ),
+        ),
+    ).withColumn("sq_score", F.shiftleft(F.col("precedence"), 8) + F.col("base"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("prefix").orderBy(F.desc("sq_score"), F.asc("doc_key"))
+    champions = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CHAMPION_LIST_SIZE)
+        .select("prefix", "doc_id", "doc_key", "sq_score", "rn")
+    )
+    champions.write.mode("overwrite").parquet(os.path.join(out_dir, "champions"))
     pairs.unpersist()
 
 

@@ -27,6 +27,11 @@ REFERENCE_DOCS: list[tuple[int, str]] = [
 
 # (name, query, k)
 REFERENCE_QUERIES: list[tuple[str, str, int]] = [
+    ("short_f", "f", 10),
+    ("short_fo", "fo", 10),
+    ("short_ba", "ba", 10),
+    ("mixed_two_fo", "to be", 10),  # all-short words -> short path on 'to be'
+    ("mixed_quick_a", "a quick", 10),  # mixed: stage 1 strips 'a'
     ("batman", "batman", 10),
     ("qick_fux", "qick fux", 10),
     ("battamam", "battamam", 10),

@@ -51,6 +51,35 @@ class _TermState:
     weights: list = field(default_factory=list)
 
 
+def short_query_score(
+    q: str,
+    first_pos: int,
+    n_ws: int,
+    n_exact: int,
+    first_exact: bool,
+    n_tokens: int,
+    tiny_text: str | None,
+) -> int:
+    """ShortQueryResolver.CalculateFinalScore (ShortQueryResolver.cs:248-307):
+    precedence bits (word-start 128, first-position 64, exact-token or
+    short-title 32, first-token-exact 16, title==query 8) << 8, plus a
+    position/density base byte. All prefix postings are word starts
+    (PositionalPrefixIndex indexes token prefixes only)."""
+    precedence = 128
+    if first_pos == 0:
+        precedence |= 64
+    if n_exact > 0 or n_tokens <= 3:
+        precedence |= 32
+    if first_exact:
+        precedence |= 16
+    if tiny_text is not None and tiny_text == q:
+        precedence |= 8
+    pos_component = 255 - min(first_pos * 16, 240)
+    density = min(n_ws * 8, 32)
+    base = max(0, min(pos_component + density, 255))
+    return (precedence << 8) | base
+
+
 def levenshtein_le1(a: str, b: str) -> bool:
     """True iff plain Levenshtein distance (ins/del/sub; no transposition,
     matching the reference's Myers bit-parallel matcher,
@@ -91,6 +120,11 @@ class KernelIndex:
         self.terms: dict[str, _TermState] = {}
         self.doc_keys: list[int] = []
         self.prefix_index: dict[str, set[int]] = {}
+        # positional prefix data for the short-query path (B6/D10):
+        # prefix -> doc -> [first_pos, n_ws, n_exact, first_exact]
+        self.prefix_postings: dict[str, dict[int, list]] = {}
+        # doc metadata cache (B8): (n_tokens, tiny_text)
+        self.doc_meta: list[tuple[int, str | None]] = []
         self.doc_lengths: np.ndarray | None = None
         self.avgdl: float = 0.0
 
@@ -143,9 +177,26 @@ class KernelIndex:
 
     def _index_prefixes(self, prepped: str, doc_id: int) -> None:
         # PositionalPrefixIndex.IndexDocument: token prefixes of length 1..3
-        for tok in word_tokens(prepped, min_size=1):
+        # with (token position, exactness) for short-query precedence
+        toks = word_tokens(prepped, min_size=1)
+        for pos, tok in enumerate(toks):
             for plen in range(1, min(len(tok), 3) + 1):
-                self.prefix_index.setdefault(tok[:plen], set()).add(doc_id)
+                p = tok[:plen]
+                self.prefix_index.setdefault(p, set()).add(doc_id)
+                st = self.prefix_postings.setdefault(p, {}).get(doc_id)
+                exact = len(tok) == plen
+                if st is None:
+                    self.prefix_postings[p][doc_id] = [
+                        pos, 1, 1 if exact else 0, exact and pos == 0
+                    ]
+                else:
+                    st[1] += 1
+                    if exact:
+                        st[2] += 1
+        stripped = prepped.strip()
+        self.doc_meta.append(
+            (len(toks), stripped if len(stripped) <= 3 else None)
+        )
 
     def _build_doc_lengths(self) -> None:
         n = len(self.doc_keys)
@@ -171,6 +222,20 @@ class KernelIndex:
         total_docs = len(self.doc_keys)
         if total_docs == 0:
             return []
+        # routing (QueryAnalyzer.Analyze + SearchPipeline.ExecuteRelevancyStage):
+        # n-gram path iff some word reaches the min gram size; mixed queries
+        # strip short words from the stage-1 text; else short-query path.
+        min_size = self.index_sizes[0]
+        words = word_tokens(q, min_size=1)
+        long_words = [w for w in words if len(w) >= min_size]
+        if words:
+            can_ngrams = bool(long_words)
+        else:
+            can_ngrams = len(q) >= min_size
+        if not can_ngrams:
+            return self._short_query(q, k)
+        if long_words and len(long_words) < len(words):
+            q = " ".join(long_words)
         stats = self._query_stats(q)
         self._fuzzy_expand(stats)
 
@@ -221,6 +286,23 @@ class KernelIndex:
         sc = scores[hit]
         order = np.lexsort((keys, -sc))[:k]
         return [(int(keys[i]), float(sc[i])) for i in order]
+
+    def _short_query(self, q: str, k: int) -> list[tuple[int, float]]:
+        """Short-query (1-3 char) resolution over the positional prefix
+        index (ShortQueryResolver.Resolve/CalculateFinalScore semantics:
+        precedence bits <<8 | position/density base, sorted desc)."""
+        posting = self.prefix_postings.get(q)
+        if not posting:
+            return []
+        out = []
+        for doc_id, (first_pos, n_ws, n_exact, first_exact) in posting.items():
+            n_tokens, tiny = self.doc_meta[doc_id]
+            score = short_query_score(
+                q, first_pos, n_ws, n_exact, first_exact, n_tokens, tiny
+            )
+            out.append((self.doc_keys[doc_id], float(score)))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
 
     def _query_stats(self, q: str) -> list[dict]:
         """Tokenize the query and fold duplicates into per-term stats,

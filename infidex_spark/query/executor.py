@@ -28,7 +28,7 @@ import pyarrow.dataset as ds
 from infidex_spark.build.codec import decode_postings
 from infidex_spark.kernel.bm25 import compute_idf, term_max_score, term_score
 from infidex_spark.kernel.normalize import normalize
-from infidex_spark.kernel.tokenize import search_tokens
+from infidex_spark.kernel.tokenize import search_tokens, word_tokens
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -72,6 +72,12 @@ class IndexReader:
         var = os.path.join(index_dir, "variants")
         self._prefixes = ds.dataset(pfx) if os.path.isdir(pfx) else None
         self._variants = ds.dataset(var) if os.path.isdir(var) else None
+        pp = os.path.join(index_dir, "prefix_postings")
+        ch = os.path.join(index_dir, "champions")
+        dm = os.path.join(index_dir, "doc_meta")
+        self._prefix_postings = ds.dataset(pp) if os.path.isdir(pp) else None
+        self._champions = ds.dataset(ch) if os.path.isdir(ch) else None
+        self._doc_meta = ds.dataset(dm) if os.path.isdir(dm) else None
         # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
         # memory so the candidate selector only touches disk for the rare
         # prefix whose doc list actually qualifies
@@ -168,6 +174,46 @@ class IndexReader:
 
         return sorted(t for t in cands if levenshtein_le1(token, t))
 
+    def short_query_rows(self, prefix: str):
+        """(doc_id, first_pos, n_ws, n_exact, first_exact, n_tokens,
+        tiny_text, doc_key) rows for short-query resolution, or None when
+        only the champion list is stored (hot prefix)."""
+        if self._prefix_postings is None:
+            return None
+        tbl = self._prefix_postings.to_table(filter=ds.field("prefix") == prefix)
+        if tbl.num_rows == 0:
+            # distinguish "prefix unknown" (empty result) from "hot prefix,
+            # rows withheld at build" (champion-list fallback)
+            return {} if self.prefix_count(prefix) == 0 else None
+        doc_ids = tbl["doc_id"].to_numpy()
+        meta = self._doc_meta.to_table(
+            filter=ds.field("doc_id").isin(doc_ids.tolist())
+        )
+        m_ids = meta["doc_id"].to_numpy()
+        order = np.argsort(m_ids)
+        pos = np.searchsorted(m_ids[order], doc_ids)
+        _, keys = self.doc_lengths(np.sort(doc_ids))
+        key_of = dict(zip(np.sort(doc_ids).tolist(), keys.tolist()))
+        return {
+            "doc_id": doc_ids,
+            "first_pos": tbl["first_pos"].to_numpy(),
+            "n_ws": tbl["n_ws"].to_numpy(),
+            "n_exact": tbl["n_exact"].to_numpy(),
+            "first_exact": tbl["first_exact"].to_numpy(zero_copy_only=False),
+            "n_tokens": meta["n_tokens"].to_numpy()[order][pos],
+            "tiny_text": np.array(meta["tiny_text"].to_pylist(), dtype=object)[order][pos],
+            "doc_key": np.array([key_of[int(d)] for d in doc_ids], dtype=np.int64),
+        }
+
+    def champion_list(self, prefix: str) -> list[tuple[int, float]]:
+        if self._champions is None:
+            return []
+        tbl = self._champions.to_table(filter=ds.field("prefix") == prefix)
+        rows = sorted(
+            zip(tbl["rn"].to_pylist(), tbl["doc_key"].to_pylist(), tbl["sq_score"].to_pylist())
+        )
+        return [(int(k), float(s)) for _, k, s in rows]
+
     def doc_lengths(self, doc_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """(dl float32, doc_key int64) for given sorted doc_ids."""
         if self._dl_cache is not None:
@@ -263,6 +309,23 @@ class MultiReader:
     def prefix_count(self, prefix: str) -> int:
         return sum(r.prefix_count(prefix) for r in self.readers)
 
+    def short_query_rows(self, prefix: str):
+        parts = [r.short_query_rows(prefix) for r in self.readers]
+        if any(p is None for p in parts):
+            # some segment is hot (rows withheld) -> champion path for all
+            return None
+        parts = [p for p in parts if p]  # drop segments without the prefix
+        if not parts:
+            return {}
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+    def champion_list(self, prefix: str) -> list[tuple[int, float]]:
+        merged: list[tuple[int, float]] = []
+        for r in self.readers:
+            merged.extend(r.champion_list(prefix))
+        merged.sort(key=lambda t: (-t[1], t[0]))
+        return merged
+
     def fetch_variant_terms(self, token: str) -> list[str]:
         out: set[str] = set()
         for r in self.readers:
@@ -306,6 +369,15 @@ class QueryExecutor:
             q = syn.canonicalize_text(q)
         if not q or self.r.total_docs == 0:
             return []
+        # routing identical to the kernel (QueryAnalyzer semantics)
+        min_size = self.r.sizes[0]
+        words = word_tokens(q, min_size=1)
+        long_words = [w for w in words if len(w) >= min_size]
+        can_ngrams = bool(long_words) if words else len(q) >= min_size
+        if not can_ngrams:
+            return self._short_query(q, k)
+        if long_words and len(long_words) < len(words):
+            q = " ".join(long_words)
         tokens = search_tokens(q, self.r.sizes, self.r.start_pad)
         if not tokens:
             return []
@@ -377,6 +449,41 @@ class QueryExecutor:
         return [(int(keys[i]), float(scores[i])) for i in order]
 
     # --------------------------------------------------------------- parts
+
+    def _short_query(self, q: str, k: int) -> list[tuple[int, float]]:
+        """1-3 char queries: positional-prefix resolution (D10) with the
+        reference's precedence/base scoring; champion list fallback for
+        hot prefixes whose full rows are not stored."""
+        from infidex_spark.kernel.engine import short_query_score
+
+        rows = None
+        get_rows = getattr(self.r, "short_query_rows", None)
+        if get_rows is not None:
+            rows = get_rows(q)
+        if rows is None:
+            champs = getattr(self.r, "champion_list", lambda p: [])(q)
+            out = [(d, s) for d, s in champs if d not in getattr(self.r, "tombstones", ())]
+            return out[:k]
+        if not rows or rows["doc_id"].size == 0:
+            return []
+        tomb = getattr(self.r, "tombstones", frozenset())
+        out = []
+        for i in range(rows["doc_id"].size):
+            key = int(rows["doc_key"][i])
+            if key in tomb:
+                continue
+            score = short_query_score(
+                q,
+                int(rows["first_pos"][i]),
+                int(rows["n_ws"][i]),
+                int(rows["n_exact"][i]),
+                bool(rows["first_exact"][i]),
+                int(rows["n_tokens"][i]),
+                rows["tiny_text"][i],
+            )
+            out.append((key, float(score)))
+        out.sort(key=lambda r: (-r[1], r[0]))
+        return out[:k]
 
     def _fuzzy_union(self, token: str) -> TermPostings | None:
         """LD1 virtual term: union of matching terms' doc lists, tf=1
