@@ -322,7 +322,75 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_events_window_agg(spark, sf_dir):
+    """Tumbling 1-hour window aggregation over the events stream table
+    (the batch shape of a Structured Streaming windowed agg)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap per user -> session count."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )
+
+
+def q_join_orders_revenue(spark, sf_dir):
+    """Relational join + aggregate over the TPC-H-ish tables (broadcast
+    orders side is small at these SFs; Catalyst picks the strategy)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+def q_segment_docs(spark, sf_dir):
+    """A7 auto-segmentation over documents (rows-only: boundaries are an
+    indexing choice; invariants tested in pytest)."""
+    from infidex_spark.build.segmenter import segment_docs
+
+    docs = _docs(spark, sf_dir).select(F.col("doc_id").alias("doc_key"), "text")
+    return segment_docs(docs).select(
+        "doc_key", "seg_no", F.length("text").cast("long").alias("seg_chars")
+    )
+
+
 QUERIES = {
+    "events_window_agg": q_events_window_agg,
+    "events_sessionize": q_events_sessionize,
+    "join_orders_revenue": q_join_orders_revenue,
+    "segment_docs": q_segment_docs,
     "word_df": q_word_df,
     "word_postings": q_word_postings,
     "doc_stats_words": q_doc_stats_words,
@@ -361,6 +429,32 @@ _DE = "['der','die','und','das','ist','von','mit','den','ein','zu']"
 _FR = "['le','la','les','de','et','un','est','que','pour','dans']"
 
 ORACLES = {
+    "events_window_agg": """
+        SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start,
+               event_type,
+               count(*)::BIGINT AS n,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_sessionize": """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+        SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+        FROM g GROUP BY user_id
+    """,
+    "join_orders_revenue": """
+        SELECT o.o_orderpriority,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+    """,
     "word_df": f"WITH {_WORDS_CTE} SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY term",
     "word_postings": f"""
         WITH {_WORDS_CTE}

@@ -284,8 +284,20 @@ class KernelIndex:
         hit = scores > 0
         keys = np.asarray(self.doc_keys, dtype=np.int64)[cand[hit]]
         sc = scores[hit]
-        order = np.lexsort((keys, -sc))[:k]
-        return [(int(keys[i]), float(sc[i])) for i in order]
+        order = np.lexsort((keys, -sc))
+        # segment consolidation (D12): best-scoring segment per doc_key
+        # wins; a no-op when keys are unique
+        out: list[tuple[int, float]] = []
+        seen: set[int] = set()
+        for i in order:
+            key = int(keys[i])
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((key, float(sc[i])))
+            if len(out) == k:
+                break
+        return out
 
     def _short_query(self, q: str, k: int) -> list[tuple[int, float]]:
         """Short-query (1-3 char) resolution over the positional prefix
@@ -301,8 +313,9 @@ class KernelIndex:
                 q, first_pos, n_ws, n_exact, first_exact, n_tokens, tiny
             )
             out.append((self.doc_keys[doc_id], float(score)))
-        out.sort(key=lambda r: (-r[1], r[0]))
-        return out[:k]
+        from infidex_spark.build.segmenter import consolidate
+
+        return consolidate(out, k)
 
     def _query_stats(self, q: str) -> list[dict]:
         """Tokenize the query and fold duplicates into per-term stats,

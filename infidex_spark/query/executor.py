@@ -426,13 +426,20 @@ class QueryExecutor:
             if cand.size == 0:
                 return []
 
+        from infidex_spark.build.segmenter import consolidate
+
         if use_wand:
             from infidex_spark.query.wand import wand_topk
 
-            pos, sc = wand_topk(cand, active, idfs, max_scores, dl, avgdl, k)
+            # over-fetch so segment consolidation (best segment per
+            # doc_key) can still fill k distinct keys; no-op when keys
+            # are unique
+            m = max(4 * k, 64)
+            pos, sc = wand_topk(cand, active, idfs, max_scores, dl, avgdl, m)
             kk = keys[pos]
-            order = np.lexsort((kk, -sc))[:k]
-            return [(int(kk[i]), float(sc[i])) for i in order]
+            order = np.lexsort((kk, -sc))
+            hits = [(int(kk[i]), float(sc[i])) for i in order]
+            return consolidate(hits, k)
 
         scores = np.zeros(cand.size, dtype=np.float32)
         for i, t in enumerate(active):
@@ -445,8 +452,9 @@ class QueryExecutor:
 
         nz = scores > 0
         keys, scores = keys[nz], scores[nz]
-        order = np.lexsort((keys, -scores))[:k]
-        return [(int(keys[i]), float(scores[i])) for i in order]
+        order = np.lexsort((keys, -scores))
+        hits = [(int(keys[i]), float(scores[i])) for i in order]
+        return consolidate(hits, k)
 
     # --------------------------------------------------------------- parts
 
@@ -482,8 +490,9 @@ class QueryExecutor:
                 rows["tiny_text"][i],
             )
             out.append((key, float(score)))
-        out.sort(key=lambda r: (-r[1], r[0]))
-        return out[:k]
+        from infidex_spark.build.segmenter import consolidate
+
+        return consolidate(out, k)
 
     def _fuzzy_union(self, token: str) -> TermPostings | None:
         """LD1 virtual term: union of matching terms' doc lists, tf=1
