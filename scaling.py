@@ -159,7 +159,10 @@ Scaling efficiency R_4N/(4*R_N) = **{result['scaling_efficiency']}** (target >= 
         content = f.read()
     marker = "\n## Measured scaling evidence"
     if marker in content:
-        content = content[: content.index(marker)]
+        start = content.index(marker)
+        nxt = content.find("\n## ", start + 5)
+        tail = content[nxt:] if nxt != -1 else ""
+        content = content[:start] + tail
     with open(path, "w") as f:
         f.write(content.rstrip("\n") + "\n" + section)
 
