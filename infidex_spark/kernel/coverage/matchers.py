@@ -1,0 +1,208 @@
+"""Word matchers over MatchState — ports of Coverage/WholeWordMatcher.cs,
+JoinedWordMatcher.cs, and FuzzyWordMatcher.cs (ordering, state mutations,
+and scoring contributions preserved exactly; see each function)."""
+
+from __future__ import annotations
+
+from infidex_spark.kernel.coverage.config import CoverageConfig
+from infidex_spark.kernel.coverage.metrics import damerau_restricted
+from infidex_spark.kernel.coverage.state import MatchState
+
+
+def match_whole_words(state: MatchState) -> None:
+    """WholeWordMatcher.Match (E3): exact token matches, positional
+    mismatch penalty, phrase-bonus char (+1 between multi-term hits)."""
+    q_count, d_count = state.q_count, state.d_count
+    p_increment = 1 if q_count > 1 else 0
+    for i in range(q_count):
+        q = state.query_tokens[i]
+        match_index = -1
+        for j in range(d_count):
+            if state.d_active[j] and state.doc_tokens[j].text == q.text:
+                match_index = j
+                break
+        if match_index == -1:
+            continue
+        state.word_hits += 1
+        state.num_whole += len(q.text)
+        state.term_matched_chars[i] += len(q.text)
+        state.term_has_whole[i] = True
+        state.term_has_prefix[i] = True
+        pos = state.doc_tokens[match_index].position
+        if state.term_first_pos[i] == -1 or pos < state.term_first_pos[i]:
+            state.term_first_pos[i] = pos
+        # penalty when the i-th doc token is not the i-th query token
+        if d_count > i:
+            if state.doc_tokens[i].text != q.text:
+                state.penalty += 1
+        else:
+            state.penalty += 1
+        if i < q_count - 1:
+            state.num_whole += p_increment
+        state.q_active[i] = False
+        state.d_active[match_index] = False
+
+
+def match_joined_words(state: MatchState) -> None:
+    """JoinedWordMatcher.Match (E4): query bigram == doc token and the
+    inverse (doc bigram == query token)."""
+    _match_query_joined(state)
+    _match_doc_joined(state)
+
+
+def _match_query_joined(state: MatchState) -> None:
+    q_count, d_count = state.q_count, state.d_count
+    for i in range(q_count - 1):
+        if not (state.q_active[i] and state.q_active[i + 1]):
+            continue
+        next_idx = -1
+        for k in range(i + 1, q_count):
+            if state.q_active[k]:
+                next_idx = k
+                break
+        if next_idx == -1:
+            break
+        q1, q2 = state.query_tokens[i], state.query_tokens[next_idx]
+        joined_len = len(q1.text) + len(q2.text)
+        match_index = -1
+        for j in range(d_count):
+            if state.d_active[j]:
+                d = state.doc_tokens[j]
+                if (
+                    len(d.text) == joined_len
+                    and d.text.startswith(q1.text)
+                    and d.text.endswith(q2.text)
+                ):
+                    match_index = j
+                    break
+        if match_index == -1:
+            continue
+        state.num_joined += joined_len
+        state.word_hits += 2
+        pos = state.doc_tokens[match_index].position
+        state.term_matched_chars[i] += len(q1.text)
+        state.term_has_joined[i] = True
+        state.term_has_prefix[i] = True
+        if state.term_first_pos[i] == -1 or pos < state.term_first_pos[i]:
+            state.term_first_pos[i] = pos
+        state.term_matched_chars[next_idx] += len(q2.text)
+        state.term_has_joined[next_idx] = True
+        if state.term_first_pos[next_idx] == -1 or pos < state.term_first_pos[next_idx]:
+            state.term_first_pos[next_idx] = pos
+        state.q_active[i] = False
+        state.q_active[next_idx] = False
+        state.d_active[match_index] = False
+
+
+def _match_doc_joined(state: MatchState) -> None:
+    q_count, d_count = state.q_count, state.d_count
+    for i in range(d_count - 1):
+        if not state.d_active[i]:
+            continue
+        next_idx = -1
+        for k in range(i + 1, d_count):
+            if state.d_active[k]:
+                next_idx = k
+                break
+        if next_idx == -1:
+            break
+        d1, d2 = state.doc_tokens[i], state.doc_tokens[next_idx]
+        joined_len = len(d1.text) + len(d2.text)
+        match_index = -1
+        for j in range(q_count):
+            if state.q_active[j]:
+                q = state.query_tokens[j]
+                if (
+                    len(q.text) == joined_len
+                    and q.text.startswith(d1.text)
+                    and q.text.endswith(d2.text)
+                ):
+                    match_index = j
+                    break
+        if match_index == -1:
+            continue
+        state.num_joined += joined_len
+        state.word_hits += 1
+        state.term_matched_chars[match_index] += joined_len
+        state.term_has_joined[match_index] = True
+        state.term_has_prefix[match_index] = True
+        pos = d1.position
+        if state.term_first_pos[match_index] == -1 or pos < state.term_first_pos[match_index]:
+            state.term_first_pos[match_index] = pos
+        state.q_active[match_index] = False
+        state.d_active[i] = False
+        state.d_active[next_idx] = False
+
+
+def _token_max_edits(q_len: int, setup: CoverageConfig) -> tuple[int, bool]:
+    """Per-token typo budget + special len-2 rule (FuzzyWordMatcher)."""
+    if q_len >= setup.min_length_two_typos:
+        max_edits = 2
+    elif q_len >= setup.min_length_one_typo:
+        max_edits = 1
+    else:
+        max_edits = 0
+    special = q_len == 2 and max_edits == 0 and setup.num_typos >= 1
+    if special:
+        max_edits = 1
+    return min(max_edits, setup.num_typos), special
+
+
+def match_fuzzy_words(state: MatchState, setup: CoverageConfig) -> None:
+    """FuzzyWordMatcher.Match (E6): banded Damerau-Levenshtein matching,
+    distance tier by tier (all dist=1 matches before any dist=2), typo
+    budgets by token length, first-char-must-match rule for len-2
+    tokens. Credit per match = q_len - dist."""
+    max_query_len = max(
+        (len(t.text) for i, t in enumerate(state.query_tokens) if state.q_active[i]),
+        default=0,
+    )
+    if max_query_len == 0:
+        return
+    global_max, _ = _token_max_edits(max_query_len, setup)
+    if global_max == 0:
+        return
+    for edit_dist in range(1, global_max + 1):
+        if not any(state.q_active):
+            break
+        for i in range(state.q_count):
+            if not state.q_active[i]:
+                continue
+            q = state.query_tokens[i]
+            q_len = len(q.text)
+            if q_len < setup.min_word_size:
+                continue
+            token_max, special = _token_max_edits(q_len, setup)
+            if edit_dist > token_max:
+                continue
+            if special and edit_dist != 1:
+                continue
+            min_len = max(setup.min_word_size, q_len - edit_dist)
+            max_len = min(setup.levenshtein_max_word_size, q_len + edit_dist, 63)
+            for j in range(state.d_count):
+                if not state.d_active[j]:
+                    continue
+                d = state.doc_tokens[j]
+                d_len = len(d.text)
+                if d_len > max_len or d_len < min_len:
+                    continue
+                if special and (not d.text or d.text[0] != q.text[0]):
+                    continue
+                dist = damerau_restricted(q.text, d.text, edit_dist)
+                if dist <= edit_dist:
+                    state.word_hits += 1
+                    state.num_fuzzy += q_len - dist
+                    state.term_matched_chars[i] += q_len - dist
+                    pos = d.position
+                    if state.term_first_pos[i] == -1 or pos < state.term_first_pos[i]:
+                        state.term_first_pos[i] = pos
+                    state.q_active[i] = False
+                    state.d_active[j] = False
+                    break
+
+
+def all_terms_fully_matched(state: MatchState) -> bool:
+    for i in range(state.q_count):
+        if state.term_max_chars[i] > 0 and state.term_matched_chars[i] < state.term_max_chars[i]:
+            return False
+    return True

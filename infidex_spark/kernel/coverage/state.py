@@ -1,0 +1,101 @@
+"""Shared match state + coverage tokenizer.
+
+Port of Coverage/MatchState.cs and Coverage/CoverageTokenizer.cs. Texts
+are pre-lowercased by the caller (the reference compares with
+OrdinalIgnoreCase throughout; lowering once is equivalent for the corpora
+this engine handles — documented delta for exotic case-fold pairs).
+
+Token Position is the CHARACTER OFFSET of the token in its text (the
+reference's CoverageTokenizer sets Position = currentPos).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from infidex_spark.kernel.tokenize import DELIMITERS
+
+_DELIMS = frozenset(DELIMITERS)
+
+
+@dataclass
+class Token:
+    text: str
+    position: int  # char offset
+
+
+def _raw_tokens(text: str, min_word_size: int) -> list[Token]:
+    out: list[Token] = []
+    i, n = 0, len(text)
+    while i < n:
+        while i < n and text[i] in _DELIMS:
+            i += 1
+        if i >= n:
+            break
+        start = i
+        while i < n and text[i] not in _DELIMS:
+            i += 1
+        if i - start >= min_word_size:
+            out.append(Token(text[start:i], start))
+    return out
+
+
+def tokenize_coverage(
+    text: str, min_word_size: int, dedupe: bool = True
+) -> tuple[list[Token], int]:
+    """(unique tokens in first-occurrence order, raw token count)."""
+    raw = _raw_tokens(text, min_word_size)
+    if not dedupe:
+        return raw, len(raw)
+    seen: set[str] = set()
+    uniq: list[Token] = []
+    for t in raw:
+        if t.text not in seen:
+            seen.add(t.text)
+            uniq.append(t)
+    return uniq, len(raw)
+
+
+@dataclass
+class MatchState:
+    """Mutable state threaded through the matchers (MatchState.cs)."""
+
+    query_tokens: list[Token]
+    doc_tokens: list[Token]  # unique
+    doc_token_count: int  # raw count
+    q_active: list[bool] = field(default_factory=list)
+    d_active: list[bool] = field(default_factory=list)
+    term_matched_chars: list[float] = field(default_factory=list)
+    term_max_chars: list[int] = field(default_factory=list)
+    term_has_whole: list[bool] = field(default_factory=list)
+    term_has_joined: list[bool] = field(default_factory=list)
+    term_has_prefix: list[bool] = field(default_factory=list)
+    term_first_pos: list[int] = field(default_factory=list)
+    term_idf: list[float] = field(default_factory=list)
+    word_hits: int = 0
+    num_whole: float = 0.0
+    num_joined: float = 0.0
+    num_fuzzy: float = 0.0
+    num_prefix_suffix: float = 0.0
+    penalty: int = 0
+
+    def __post_init__(self) -> None:
+        q = len(self.query_tokens)
+        d = len(self.doc_tokens)
+        self.q_active = [True] * q
+        self.d_active = [True] * d
+        self.term_matched_chars = [0.0] * q
+        self.term_max_chars = [len(t.text) for t in self.query_tokens]
+        self.term_has_whole = [False] * q
+        self.term_has_joined = [False] * q
+        self.term_has_prefix = [False] * q
+        self.term_first_pos = [-1] * q
+        self.term_idf = [0.0] * q
+
+    @property
+    def q_count(self) -> int:
+        return len(self.query_tokens)
+
+    @property
+    def d_count(self) -> int:
+        return len(self.doc_tokens)
