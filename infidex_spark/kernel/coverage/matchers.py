@@ -206,3 +206,93 @@ def all_terms_fully_matched(state: MatchState) -> bool:
         if state.term_max_chars[i] > 0 and state.term_matched_chars[i] < state.term_max_chars[i]:
             return False
     return True
+
+
+def match_prefix_suffix(state: MatchState) -> None:
+    """PrefixSuffixMatcher.Match (E5): pass 1 exact prefix (full credit) /
+    suffix (half) / contains (0.6x, len>=4) / query-ends-with-doc-token;
+    pass 2 fuzzy prefix (Damerau<=1 on doc-token slices of len q, q+1,
+    q-1; len>=4, or >=2 for the final query term). Both passes visit
+    tokens longest-first (stable on ties, preserving original order)."""
+    q_order = sorted(
+        (i for i in range(state.q_count) if state.q_active[i]),
+        key=lambda i: -len(state.query_tokens[i].text),
+    )
+    d_order = sorted(
+        (j for j in range(state.d_count) if state.d_active[j]),
+        key=lambda j: -len(state.doc_tokens[j].text),
+    )
+    _match_exact_affix(state, q_order, d_order)
+    _match_fuzzy_prefix(state, q_order, d_order)
+
+
+def _affix_credit(state: MatchState, i: int, j: int, score: float, is_prefix: bool) -> None:
+    state.num_prefix_suffix += score
+    state.word_hits += 1
+    state.term_matched_chars[i] += score
+    if is_prefix:
+        state.term_has_prefix[i] = True
+    pos = state.doc_tokens[j].position
+    if state.term_first_pos[i] == -1 or pos < state.term_first_pos[i]:
+        state.term_first_pos[i] = pos
+    state.q_active[i] = False
+    state.d_active[j] = False
+
+
+def _match_exact_affix(state: MatchState, q_order: list[int], d_order: list[int]) -> None:
+    for i in q_order:
+        if not state.q_active[i]:
+            continue
+        q = state.query_tokens[i].text
+        for j in d_order:
+            if not state.d_active[j]:
+                continue
+            d = state.doc_tokens[j].text
+            if len(q) == len(d):
+                continue
+            matched, score, is_prefix = False, 0.0, False
+            if len(q) < len(d):
+                if d.startswith(q):
+                    matched, score, is_prefix = True, float(len(q)), True
+                elif d.endswith(q):
+                    matched, score = True, float(max(1, len(q) // 2))
+                elif len(q) >= 4 and q in d:
+                    matched, score = True, len(q) * 0.6
+            else:
+                if q.endswith(d):
+                    matched, score = True, float(len(d))
+            if matched:
+                _affix_credit(state, i, j, score, is_prefix)
+                break
+
+
+def _match_fuzzy_prefix(state: MatchState, q_order: list[int], d_order: list[int]) -> None:
+    q_count = state.q_count
+    for i in q_order:
+        if not state.q_active[i]:
+            continue
+        q = state.query_tokens[i].text
+        q_len = len(q)
+        if not (q_len >= 4 or (i == q_count - 1 and q_len >= 2)):
+            continue
+        for j in d_order:
+            if not state.d_active[j]:
+                continue
+            d = state.doc_tokens[j].text
+            if q_len >= len(d):
+                continue
+            matched, score = False, 0.0
+            dist = damerau_restricted(q, d[:q_len], 1)
+            if dist <= 1:
+                matched, score = True, max(q_len - dist, 0.1)
+            elif len(d) > q_len:
+                dist = damerau_restricted(q, d[: q_len + 1], 1)
+                if dist <= 1:
+                    matched, score = True, max(q_len - dist, 0.1)
+                elif q_len > 1:
+                    dist = damerau_restricted(q, d[: q_len - 1], 1)
+                    if dist <= 1:
+                        matched, score = True, max(q_len - 1 - dist, 0.1)
+            if matched:
+                _affix_credit(state, i, j, score, is_prefix=False)
+                break

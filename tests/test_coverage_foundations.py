@@ -130,3 +130,55 @@ def test_fuzzy_distance_tiers_prefer_closer():
     match_fuzzy_words(st, setup)
     assert st.word_hits == 1
     assert st.term_matched_chars[0] == 8  # 9 - dist 1 (matched shawshanks)
+
+
+def test_prefix_suffix_exact():
+    from infidex_spark.kernel.coverage.matchers import match_prefix_suffix
+
+    # prefix: full credit, marks TermHasPrefix
+    st = _state("shaw", "shawshank redemption")
+    match_prefix_suffix(st)
+    assert st.word_hits == 1 and st.num_prefix_suffix == 4.0
+    assert st.term_has_prefix[0]
+    # suffix: half credit
+    st = _state("shank", "shawshank")
+    match_prefix_suffix(st)
+    assert st.num_prefix_suffix == 2.0  # max(1, 5//2)
+    assert not st.term_has_prefix[0]
+    # contains (len>=4): 0.6x
+    st = _state("awsh", "shawshank")
+    match_prefix_suffix(st)
+    assert st.num_prefix_suffix == pytest.approx(4 * 0.6)
+    # query ends with doc token
+    st = _state("megashark", "shark tales")
+    match_prefix_suffix(st)
+    assert st.num_prefix_suffix == 5.0
+
+
+def test_prefix_suffix_fuzzy_prefix():
+    from infidex_spark.kernel.coverage.matchers import match_prefix_suffix
+
+    # 'shaaw' vs slices of 'shawshank': [:5]='shaws' dist 2, [:6] dist 2,
+    # [:4]='shaw' dist 1 -> credit = qlen-1-dist = 3 (reference cascade)
+    st = _state("shaaw", "shawshank")
+    match_prefix_suffix(st)
+    assert st.word_hits == 1
+    assert st.term_matched_chars[0] == pytest.approx(3.0)
+    # last query term may fuzzy-prefix at len >= 2
+    st = _state("redemption sh", "the shawshank redemption")
+    from infidex_spark.kernel.coverage.matchers import match_whole_words
+
+    match_whole_words(st)
+    match_prefix_suffix(st)
+    assert st.term_matched_chars[1] > 0  # 'sh' type-ahead credit
+
+
+def test_prefix_suffix_longest_first_order():
+    from infidex_spark.kernel.coverage.matchers import match_prefix_suffix
+
+    # longer query token gets first pick of doc tokens
+    st = _state("shawsha sh", "shawshank shack")
+    match_prefix_suffix(st)
+    # 'shawsha' (len 7) claims 'shawshank'; 'sh' then claims 'shack'
+    assert st.term_matched_chars[0] == 7.0
+    assert st.term_matched_chars[1] == 2.0
