@@ -125,6 +125,9 @@ class KernelIndex:
         self.prefix_postings: dict[str, dict[int, list]] = {}
         # doc metadata cache (B8): (n_tokens, tiny_text)
         self.doc_meta: list[tuple[int, str | None]] = []
+        self.doc_texts: list[str] = []  # prepped text (coverage stage input)
+        self.word_df: dict[str, int] = {}  # word-level df (B4)
+        self.word_idf: dict[str, float] = {}
         self.doc_lengths: np.ndarray | None = None
         self.avgdl: float = 0.0
 
@@ -197,6 +200,9 @@ class KernelIndex:
         self.doc_meta.append(
             (len(toks), stripped if len(stripped) <= 3 else None)
         )
+        self.doc_texts.append(prepped)
+        for w in set(toks):
+            self.word_df[w] = self.word_df.get(w, 0) + 1
 
     def _build_doc_lengths(self) -> None:
         n = len(self.doc_keys)
@@ -208,6 +214,12 @@ class KernelIndex:
                 dl[d] += np.float32(w)
         self.doc_lengths = dl
         self.avgdl = float(dl.sum(dtype=np.float32) / np.float32(n)) if n else 0.0
+        # word-level IDF cache (B4, VectorModel.BuildWordIdfCache)
+        self.word_idf = {
+            w: float(compute_idf(n, df))
+            for w, df in self.word_df.items()
+            if 0 < df <= n
+        }
 
     # ------------------------------------------------------------------ query
 
@@ -464,3 +476,168 @@ class KernelIndex:
             if not out:
                 break
         return out
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline (stage 1 BM25 -> stage 2/3 coverage + fusion), mirroring
+# SearchPipeline.ExecuteCoverageStage / ProcessCandidate
+# (Scoring/SearchPipeline.cs:298-522) and the truncation rule
+# (Scoring/ResultProcessor.cs:146-178).
+
+
+class FullSearch:
+    """Stage-1 + coverage/fusion rerank over a KernelIndex."""
+
+    def __init__(self, index: KernelIndex, setup=None):
+        from infidex_spark.kernel.coverage.config import CoverageConfig
+        from infidex_spark.kernel.coverage.engine import CoverageEngine
+
+        self.index = index
+        self.setup = setup or CoverageConfig()
+        self.engine = CoverageEngine(
+            setup=self.setup,
+            sizes=index.index_sizes,
+            term_df=lambda t: (index.terms[t].df if t in index.terms else 0),
+            total_docs=len(index.doc_keys),
+            word_idf=index.word_idf,
+        )
+        self._key_to_id = {}
+        for i, k in enumerate(index.doc_keys):
+            self._key_to_id.setdefault(k, i)
+
+    def _word_matcher_docs(self, q: str) -> list[int]:
+        """WordMatcherLookup approximation: per query word (len 2-8),
+        union of exact word postings and LD1-variant postings (words only
+        exist as index terms at len >= min gram size)."""
+        from infidex_spark.kernel.tokenize import word_tokens
+
+        docs: set[int] = set()
+
+        # scan the WORD vocabulary (word_df), not gram terms; postings for
+        # a word come from its term entry (words >= min gram size are
+        # index terms; shorter word matches have no postings to add)
+        def word_docs(word: str) -> list[int]:
+            ts = self.index.terms.get(word)
+            return ts.doc_ids if (ts is not None and ts.df > 0) else []
+
+        vocab = self.index.word_df
+        for w in set(word_tokens(q, min_size=2)):
+            if len(w) <= 8:
+                docs.update(word_docs(w))
+                if len(w) >= 3:
+                    for word in vocab:
+                        if 2 <= len(word) <= 8 and levenshtein_le1(w, word):
+                            docs.update(word_docs(word))
+            # affix lookup (SupportAffix): indexed words extending the
+            # query word as prefix, or ending with it
+            if self.setup.cover_prefix_suffix:
+                for word in vocab:
+                    if word != w and (word.startswith(w) or word.endswith(w)):
+                        docs.update(word_docs(word))
+        return sorted(docs)
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:
+        """Returns [(doc_key, fusion_score, tiebreaker)] after the full
+        rerank; short queries return the stage-1 short path directly."""
+        idx = self.index
+        q = normalize(query.strip()).lower()
+        if idx.synonym_map is not None and idx.synonym_map.has_mappings:
+            q = idx.synonym_map.canonicalize_text(q)
+        if not q or not idx.doc_keys:
+            return []
+        from infidex_spark.kernel.tokenize import word_tokens as _wt
+
+        min_size = idx.index_sizes[0]
+        words = _wt(q, min_size=1)
+        long_words = [w for w in words if len(w) >= min_size]
+        can_ngrams = bool(long_words) if words else len(q) >= min_size
+        if not can_ngrams:
+            return [(d, s, 0) for d, s in idx._short_query(q, k)]
+
+        depth = self.setup.coverage_depth
+        stage1 = idx.search(q, depth)
+        if not stage1:
+            max_tfidf = 1.0
+        else:
+            max_tfidf = stage1[0][1] or 1.0
+
+        ctx = self.engine.prepare_query(q)
+        from infidex_spark.kernel.coverage.fusion_scorer import fusion_calculate
+        from infidex_spark.kernel.coverage.metrics import lcs_tolerant
+
+        tol = 0
+        if len(q) >= self.setup.coverage_q_limit_for_error_tolerance:
+            tol = int(len(q) * self.setup.coverage_lcs_error_tolerance_relative_q)
+
+        wm_docs = self._word_matcher_docs(q)
+        tfidf_ids = {self._key_to_id[d] for d, _ in stage1 if d in self._key_to_id}
+        wm_overlap = [i for i in wm_docs if i in tfidf_ids]
+        wm_unique = [i for i in wm_docs if i not in tfidf_ids]
+        wm_limit = max(0, depth - len(wm_overlap))
+
+        entries: list[tuple[float, int, int]] = []  # (score, tiebreaker, key)
+        lcs_by_key: dict[int, int] = {}
+        hits_by_key: dict[int, int] = {}
+        max_word_hits = 0
+
+        def process(internal_id: int, base: float) -> None:
+            nonlocal max_word_hits
+            key = idx.doc_keys[internal_id]
+            text = idx.doc_texts[internal_id]
+            lcs = lcs_by_key.get(key)
+            if lcs is None:
+                lcs = lcs_tolerant(q, text, tol)
+                lcs_by_key[key] = min(lcs, 255)
+            feats = self.engine.calculate_features(ctx, text, lcs)
+            score, tie = fusion_calculate(q, text, feats, base, min_size)
+            if key not in hits_by_key:
+                hits_by_key[key] = min(feats.word_hits, 255)
+            max_word_hits = max(max_word_hits, feats.word_hits)
+            entries.append((score, tie, key))
+
+        for i in wm_overlap:
+            process(i, 0.0)
+        for i in wm_unique[:wm_limit]:
+            process(i, 0.0)
+        for key, s1 in stage1:
+            internal = self._key_to_id.get(key)
+            if internal is None:
+                continue
+            process(internal, s1 / max_tfidf if max_tfidf > 0 else 0.0)
+
+        if max_word_hits == 0 and not wm_docs:
+            # coverage found nothing lexical: fall back to the TF-IDF
+            # backbone (SearchPipeline.cs:184-198 safety net)
+            return [(d, s, 0) for d, s in stage1[:k]]
+
+        # heap order (score desc, tiebreaker desc, key asc) + consolidation
+        entries.sort(key=lambda e: (-e[0], -e[1], e[2]))
+        final: list[tuple[int, float, int]] = []
+        seen: set[int] = set()
+        for score, tie, key in entries:
+            if key in seen:
+                continue
+            seen.add(key)
+            final.append((key, score, tie))
+
+        # truncation (E11)
+        if self.setup.truncate and final:
+            min_hits = max(
+                self.setup.coverage_min_word_hits_abs,
+                max_word_hits - self.setup.coverage_min_word_hits_relative,
+            )
+            trunc = -1
+            for i in range(len(final) - 1, -1, -1):
+                key = final[i][0]
+                if (
+                    hits_by_key.get(key, 0) >= min_hits
+                    or lcs_by_key.get(key, 0) > 0
+                    or final[i][1] >= self.setup.truncation_score
+                ):
+                    trunc = i
+                    break
+            count = k if trunc == -1 else min(trunc + 1, k)
+            final = final[:count]
+        else:
+            final = final[:k]
+        return final

@@ -1,0 +1,96 @@
+"""Full pipeline (stage 1 BM25 -> coverage/fusion rerank): behavioral
+parity targets lifted from the reference's own test assertions
+(ReferenceMatchingTests.cs, MovieSearchParityTests.cs)."""
+
+import pytest
+
+from infidex_spark.fixtures import REFERENCE_DOCS, movie_docs
+from infidex_spark.kernel.engine import FullSearch, KernelIndex
+
+
+@pytest.fixture(scope="module")
+def ref_search():
+    idx = KernelIndex()
+    idx.index_documents(REFERENCE_DOCS)
+    return FullSearch(idx)
+
+
+@pytest.fixture(scope="module")
+def movie_search():
+    idx = KernelIndex()
+    idx.index_documents(movie_docs())
+    return FullSearch(idx)
+
+
+def test_batman_top1(ref_search):
+    res = ref_search.search("batman", 10)
+    assert res[0][0] == 6
+
+
+def test_qick_fux_exactly_5_then_1(ref_search):
+    res = ref_search.search("qick fux", 10)
+    assert [d for d, _, _ in res] == [5, 1]
+
+
+def test_battamam_fallback_returns_6(ref_search):
+    # coverage finds no lexical hits (lev(battamam,batman)=3) -> TF-IDF
+    # backbone safety net (SearchPipeline.cs:184-198)
+    res = ref_search.search("battamam", 10)
+    assert len(res) == 1 and res[0][0] == 6
+
+
+def test_gotham_city(ref_search):
+    assert ref_search.search("gotham city", 10)[0][0] == 6
+
+
+def test_shawshank_exact(movie_search):
+    assert movie_search.search("Shawshank", 10)[0][0] == 1
+
+
+def test_shaaawshank_typo_prefers_shawshank(movie_search):
+    # the flagship rerank assertion: BM25 alone prefers the shorter
+    # 'Shanks'; the fuzzy coverage stage must put The Shawshank
+    # Redemption first (MovieSearchParityTests.Shaaawshank_Typo_*)
+    res = movie_search.search("Shaaawshank", 10)
+    assert res[0][0] == 1
+
+
+def test_redemption_shank_prefers_shawshank(movie_search):
+    res = movie_search.search("redemption shank", 10)
+    assert res[0][0] == 1
+
+
+def test_redemption_sh_type_ahead(movie_search):
+    res = movie_search.search("redemption sh", 10)
+    assert res[0][0] == 1
+
+
+def test_dark_knight(movie_search):
+    assert movie_search.search("dark knight", 10)[0][0] == 10
+
+
+def test_goodfellas_typo(movie_search):
+    res = movie_search.search("goodfelas", 10)
+    assert res[0][0] == 12  # Goodfellas
+
+
+def test_exact_title_ranks_over_partials(movie_search):
+    res = movie_search.search("pulp fiction", 10)
+    assert res[0][0] == 13
+
+
+def test_short_query_passthrough(movie_search):
+    # short path unchanged by the rerank wrapper
+    res = movie_search.search("sh", 10)
+    assert res and all(isinstance(d, int) for d, _, _ in res)
+
+
+def test_empty_and_unknown(movie_search):
+    assert movie_search.search("", 10) == []
+    assert movie_search.search("zzzzqqqq", 10) == []
+
+
+def test_scores_descending_fusion(movie_search):
+    res = movie_search.search("redemption", 10)
+    scores = [s for _, s, _ in res]
+    assert scores == sorted(scores, reverse=True)
