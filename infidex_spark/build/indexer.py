@@ -626,13 +626,40 @@ def _build_prefixes(
                     "doc_id": pdf["doc_id"],
                     "n_tokens": n_tokens.astype("int64"),
                     "tiny_text": stripped.where(stripped.str.len() <= 3),
+                    # prepped text retained for the coverage rerank (the
+                    # reference likewise keeps IndexedText in memory)
+                    "text": texts,
                 }
             )
 
-    meta_schema = "doc_id long, n_tokens long, tiny_text string"
+    meta_schema = "doc_id long, n_tokens long, tiny_text string, text string"
     doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
     doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
     doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+
+    # ---- word-level df table (B4): distinct docs per word
+    def words_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _DELIM_SPLIT
+
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
+            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+            words = words[words.str.len() >= 1]
+            if not len(words):
+                continue
+            uniq = pd.DataFrame(
+                {"doc_id": words.index, "word": words.to_numpy()}
+            ).drop_duplicates()
+            yield uniq[["word"]]
+
+    word_rows = docs.select("doc_id", "text").mapInPandas(
+        words_pass, schema="word string"
+    )
+    word_df_tbl = word_rows.groupBy("word").agg(F.count("*").alias("df"))
+    word_df_tbl.write.mode("overwrite").parquet(os.path.join(out_dir, "words"))
 
     # ---- counts + capped positional rows
     counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))

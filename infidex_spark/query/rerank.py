@@ -1,0 +1,219 @@
+"""Coverage/fusion rerank over the on-disk Spark index — the executor
+counterpart of kernel.engine.FullSearch (same pipeline: stage-1 BM25 ->
+WordMatcher lookup -> per-candidate LCS + coverage features + fusion ->
+consolidation -> truncation -> TF-IDF safety net).
+
+Candidate texts come from the index's doc_meta table (point fetch with
+predicate pushdown — candidates are <= coverage_depth + WordMatcher
+docs); word-level IDF and the WordMatcher vocabulary come from the words
+table (loaded in memory below a size cap; affix/LD1 word scans are
+skipped above it, matching how hot structures degrade elsewhere).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.dataset as ds
+
+from infidex_spark.kernel.bm25 import compute_idf
+from infidex_spark.kernel.coverage.config import CoverageConfig
+from infidex_spark.kernel.coverage.engine import CoverageEngine
+from infidex_spark.kernel.coverage.fusion_scorer import fusion_calculate
+from infidex_spark.kernel.coverage.metrics import lcs_tolerant
+from infidex_spark.kernel.engine import levenshtein_le1
+from infidex_spark.kernel.normalize import normalize
+from infidex_spark.kernel.tokenize import word_tokens
+from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+WORD_VOCAB_CAP = 2_000_000
+
+
+class RerankExecutor:
+    def __init__(self, reader: IndexReader, setup: CoverageConfig | None = None):
+        self.r = reader
+        self.setup = setup or CoverageConfig()
+        self.stage1 = QueryExecutor(reader)
+        self._words: dict[str, int] | None = None
+        words_path = os.path.join(reader.index_dir, "words")
+        if os.path.isdir(words_path):
+            tbl = ds.dataset(words_path).to_table()
+            if tbl.num_rows <= WORD_VOCAB_CAP:
+                self._words = dict(
+                    zip(tbl["word"].to_pylist(), tbl["df"].to_pylist())
+                )
+        n = reader.total_docs
+        word_idf = (
+            {w: float(compute_idf(n, df)) for w, df in self._words.items() if 0 < df <= n}
+            if self._words
+            else None
+        )
+        self._df_cache: dict[str, int] = {}
+        self.engine = CoverageEngine(
+            setup=self.setup,
+            sizes=reader.sizes,
+            term_df=self._term_df,
+            total_docs=n,
+            word_idf=word_idf,
+        )
+
+    def _term_df(self, term: str) -> int:
+        if term not in self._df_cache:
+            got = self.r.fetch_terms([term])
+            self._df_cache[term] = got[term].df if term in got else 0
+        return self._df_cache[term]
+
+    def _doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
+        if not doc_ids:
+            return {}
+        tbl = self.r._doc_meta.to_table(
+            columns=["doc_id", "text"],
+            filter=ds.field("doc_id").isin(doc_ids),
+        )
+        return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def _word_matcher_docs(self, q: str) -> list[int]:
+        docs: set[int] = set()
+        probe_terms: set[str] = set()
+        for w in set(word_tokens(q, min_size=2)):
+            if len(w) <= 8:
+                probe_terms.add(w)
+                if len(w) >= 3 and self._words:
+                    for word in self._words:
+                        if 2 <= len(word) <= 8 and levenshtein_le1(w, word):
+                            probe_terms.add(word)
+            if self.setup.cover_prefix_suffix and self._words:
+                for word in self._words:
+                    if word != w and (word.startswith(w) or word.endswith(w)):
+                        probe_terms.add(word)
+        fetched = self.r.fetch_terms(sorted(probe_terms))
+        for tp in fetched.values():
+            if 0 < tp.df <= self.r.stop_term_limit:
+                docs.update(int(d) for d in tp.doc_ids)
+        return sorted(docs)
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:
+        q = normalize(query.strip()).lower()
+        syn = getattr(self.r, "synonym_map", None)
+        if syn is not None and syn.has_mappings:
+            q = syn.canonicalize_text(q)
+        if not q or self.r.total_docs == 0:
+            return []
+        min_size = self.r.sizes[0]
+        words = word_tokens(q, min_size=1)
+        long_words = [w for w in words if len(w) >= min_size]
+        can_ngrams = bool(long_words) if words else len(q) >= min_size
+        if not can_ngrams:
+            return [(d, s, 0) for d, s in self.stage1.search(q, k)]
+
+        depth = self.setup.coverage_depth
+        s1 = self.stage1.search(q, depth)
+        max_tfidf = s1[0][1] if s1 else 1.0
+
+        ctx = self.engine.prepare_query(q)
+        tol = 0
+        if len(q) >= self.setup.coverage_q_limit_for_error_tolerance:
+            tol = int(len(q) * self.setup.coverage_lcs_error_tolerance_relative_q)
+
+        wm_docs = self._word_matcher_docs(q)
+        # map stage-1 keys back to internal doc ids via doc_stats
+        all_ids = sorted(set(wm_docs))
+        _, wm_keys = (
+            self.r.doc_lengths(np.array(all_ids, dtype=np.int64))
+            if all_ids
+            else (None, np.zeros(0, dtype=np.int64))
+        )
+        key_of = dict(zip(all_ids, wm_keys.tolist()))
+        s1_keys = {d for d, _ in s1}
+        wm_overlap = [i for i in all_ids if key_of[i] in s1_keys]
+        wm_unique = [i for i in all_ids if key_of[i] not in s1_keys]
+        wm_limit = max(0, depth - len(wm_overlap))
+
+        # fetch all candidate texts in one pushdown scan
+        need_texts = set(all_ids)
+        # stage-1 keys need their internal ids: doc_key == doc_id for
+        # unsegmented corpora; fall back to a doc_stats scan otherwise
+        key_to_id = self._keys_to_ids([d for d, _ in s1])
+        need_texts.update(key_to_id.values())
+        texts = self._doc_texts(sorted(need_texts))
+
+        entries: list[tuple[float, int, int]] = []
+        lcs_by_key: dict[int, int] = {}
+        hits_by_key: dict[int, int] = {}
+        max_word_hits = 0
+
+        def process(internal_id: int, key: int, base: float) -> None:
+            nonlocal max_word_hits
+            text = texts.get(internal_id, "")
+            lcs = lcs_by_key.get(key)
+            if lcs is None:
+                lcs = min(lcs_tolerant(q, text, tol), 255)
+                lcs_by_key[key] = lcs
+            feats = self.engine.calculate_features(ctx, text, lcs)
+            score, tie = fusion_calculate(q, text, feats, base, min_size)
+            if key not in hits_by_key:
+                hits_by_key[key] = min(feats.word_hits, 255)
+            max_word_hits = max(max_word_hits, feats.word_hits)
+            entries.append((score, tie, key))
+
+        for i in wm_overlap:
+            process(i, key_of[i], 0.0)
+        for i in wm_unique[:wm_limit]:
+            process(i, key_of[i], 0.0)
+        for key, score in s1:
+            internal = key_to_id.get(key)
+            if internal is None:
+                continue
+            process(internal, key, score / max_tfidf if max_tfidf > 0 else 0.0)
+
+        if max_word_hits == 0 and not wm_docs:
+            return [(d, s, 0) for d, s in s1[:k]]
+
+        entries.sort(key=lambda e: (-e[0], -e[1], e[2]))
+        final: list[tuple[int, float, int]] = []
+        seen: set[int] = set()
+        for score, tie, key in entries:
+            if key in seen:
+                continue
+            seen.add(key)
+            final.append((key, score, tie))
+
+        if self.setup.truncate and final:
+            min_hits = max(
+                self.setup.coverage_min_word_hits_abs,
+                max_word_hits - self.setup.coverage_min_word_hits_relative,
+            )
+            trunc = -1
+            for i in range(len(final) - 1, -1, -1):
+                key = final[i][0]
+                if (
+                    hits_by_key.get(key, 0) >= min_hits
+                    or lcs_by_key.get(key, 0) > 0
+                    or final[i][1] >= self.setup.truncation_score
+                ):
+                    trunc = i
+                    break
+            count = k if trunc == -1 else min(trunc + 1, k)
+            return final[:count]
+        return final[:k]
+
+    def _keys_to_ids(self, keys: list[int]) -> dict[int, int]:
+        if not keys:
+            return {}
+        cache = self.r._dl_cache
+        if cache is not None:
+            ids, dkeys, _ = cache
+            out = {}
+            want = set(keys)
+            for i, key in zip(ids.tolist(), dkeys.tolist()):
+                if key in want and key not in out:
+                    out[key] = i
+            return out
+        tbl = self.r._doc_stats.to_table(
+            columns=["doc_id", "doc_key"], filter=ds.field("doc_key").isin(keys)
+        )
+        out = {}
+        for i, key in zip(tbl["doc_id"].to_pylist(), tbl["doc_key"].to_pylist()):
+            out.setdefault(key, i)
+        return out

@@ -94,3 +94,50 @@ def test_scores_descending_fusion(movie_search):
     res = movie_search.search("redemption", 10)
     scores = [s for _, s, _ in res]
     assert scores == sorted(scores, reverse=True)
+
+
+@pytest.fixture(scope="module")
+def spark_rerankers(spark, tmp_path_factory):
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader
+    from infidex_spark.query.rerank import RerankExecutor
+
+    out = {}
+    for name, docs in (("reference", REFERENCE_DOCS), ("movies", movie_docs())):
+        d = str(tmp_path_factory.mktemp("rr") / name)
+        df = spark.createDataFrame(
+            [(i, key, text) for i, (key, text) in enumerate(docs)],
+            "doc_id long, doc_key long, text string",
+        )
+        build_index(spark, df, d, n_buckets=4)
+        out[name] = RerankExecutor(IndexReader(d))
+    return out
+
+
+RERANK_QUERIES = [
+    ("reference", "batman"),
+    ("reference", "qick fux"),
+    ("reference", "battamam"),
+    ("reference", "gotham city"),
+    ("reference", "quick fox"),
+    ("movies", "Shawshank"),
+    ("movies", "Shaaawshank"),
+    ("movies", "redemption shank"),
+    ("movies", "redemption sh"),
+    ("movies", "dark knight"),
+    ("movies", "goodfelas"),
+]
+
+
+@pytest.mark.parametrize("corpus,query", RERANK_QUERIES)
+def test_spark_rerank_matches_kernel_fullsearch(
+    spark_rerankers, ref_search, movie_search, corpus, query
+):
+    ex = spark_rerankers[corpus]
+    kern = ref_search if corpus == "reference" else movie_search
+    got = ex.search(query, 10)
+    want = kern.search(query, 10)
+    assert [d for d, _, _ in got] == [d for d, _, _ in want], (query, got, want)
+    for (_, gs, gt), (_, ws, wt) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-5)
+        assert gt == wt
