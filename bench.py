@@ -82,7 +82,21 @@ def main() -> None:
         q_p50[name] = round(statistics.median(times), 5)
         lat_all.extend(times)
 
-    extras = {}
+    # full-pipeline (coverage/fusion rerank) latency on the same index
+    from infidex_spark.query.rerank import RerankExecutor
+
+    rr = RerankExecutor(IndexReader(out_dir))
+    rr_p50: dict[str, float] = {}
+    for name, text in [("typo", QUERIES["typo"]), ("multi_term", QUERIES["multi_term"]), ("flagship", QUERIES["flagship"])]:
+        rr.search(text, 10)
+        times = []
+        for _ in range(max(5, reps // 2)):
+            t = time.time()
+            rr.search(text, 10)
+            times.append(time.time() - t)
+        rr_p50[name] = round(statistics.median(times), 5)
+
+    extras = {"rerank_p50_sec": rr_p50}
     scaling_path = os.path.join(REPO, "SCALING.json")
     if os.path.exists(scaling_path):
         try:

@@ -386,7 +386,30 @@ def q_segment_docs(spark, sf_dir):
     )
 
 
+def q_ngram_rerank_engine(spark, sf_dir):
+    """The full engine pipeline (BM25 stage + coverage/fusion rerank) over
+    the cached index (rows-only; kernel<->executor parity in pytest)."""
+    import os
+
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader
+    from infidex_spark.query.rerank import RerankExecutor
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(WORK_DIR, f"index_{tag}")
+    docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
+    if not os.path.exists(os.path.join(idx_dir, "MANIFEST.json")):
+        build_index(spark, docs, idx_dir, n_buckets=8)
+    rr = RerankExecutor(IndexReader(idx_dir))
+    hits = rr.search(NGRAM_QUERY, 10)
+    return spark.createDataFrame(
+        [(int(d), round(float(s), 4), r + 1) for r, (d, s, _) in enumerate(hits)],
+        "doc_id long, score double, rank int",
+    )
+
+
 QUERIES = {
+    "ngram_rerank_engine": q_ngram_rerank_engine,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "join_orders_revenue": q_join_orders_revenue,

@@ -504,6 +504,7 @@ class FullSearch:
         self._key_to_id = {}
         for i, k in enumerate(index.doc_keys):
             self._key_to_id.setdefault(k, i)
+        self._affix_vocab = None  # built lazily from word_df
 
     def _word_matcher_docs(self, q: str) -> list[int]:
         """WordMatcherLookup approximation: per query word (len 2-8),
@@ -513,27 +514,31 @@ class FullSearch:
 
         docs: set[int] = set()
 
-        # scan the WORD vocabulary (word_df), not gram terms; postings for
+        # WORD vocabulary lookups (word_df, not gram terms); postings for
         # a word come from its term entry (words >= min gram size are
         # index terms; shorter word matches have no postings to add)
         def word_docs(word: str) -> list[int]:
             ts = self.index.terms.get(word)
             return ts.doc_ids if (ts is not None and ts.df > 0) else []
 
-        vocab = self.index.word_df
+        if self._affix_vocab is None:
+            from infidex_spark.kernel.coverage.vocab import AffixVocab
+
+            self._affix_vocab = AffixVocab(self.index.word_df)
+        vocab = self._affix_vocab
         for w in set(word_tokens(q, min_size=2)):
             if len(w) <= 8:
                 docs.update(word_docs(w))
                 if len(w) >= 3:
-                    for word in vocab:
-                        if 2 <= len(word) <= 8 and levenshtein_le1(w, word):
-                            docs.update(word_docs(word))
+                    for word in vocab.ld1(w):
+                        docs.update(word_docs(word))
             # affix lookup (SupportAffix): indexed words extending the
             # query word as prefix, or ending with it
             if self.setup.cover_prefix_suffix:
-                for word in vocab:
-                    if word != w and (word.startswith(w) or word.endswith(w)):
-                        docs.update(word_docs(word))
+                for word in vocab.with_prefix(w):
+                    docs.update(word_docs(word))
+                for word in vocab.with_suffix(w):
+                    docs.update(word_docs(word))
         return sorted(docs)
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:

@@ -49,6 +49,9 @@ class RerankExecutor:
             if self._words
             else None
         )
+        from infidex_spark.kernel.coverage.vocab import AffixVocab
+
+        self._affix_vocab = AffixVocab(self._words) if self._words else None
         self._df_cache: dict[str, int] = {}
         self.engine = CoverageEngine(
             setup=self.setup,
@@ -76,17 +79,15 @@ class RerankExecutor:
     def _word_matcher_docs(self, q: str) -> list[int]:
         docs: set[int] = set()
         probe_terms: set[str] = set()
+        vocab = self._affix_vocab
         for w in set(word_tokens(q, min_size=2)):
             if len(w) <= 8:
                 probe_terms.add(w)
-                if len(w) >= 3 and self._words:
-                    for word in self._words:
-                        if 2 <= len(word) <= 8 and levenshtein_le1(w, word):
-                            probe_terms.add(word)
-            if self.setup.cover_prefix_suffix and self._words:
-                for word in self._words:
-                    if word != w and (word.startswith(w) or word.endswith(w)):
-                        probe_terms.add(word)
+                if len(w) >= 3 and vocab is not None:
+                    probe_terms.update(vocab.ld1(w))
+            if self.setup.cover_prefix_suffix and vocab is not None:
+                probe_terms.update(vocab.with_prefix(w))
+                probe_terms.update(vocab.with_suffix(w))
         fetched = self.r.fetch_terms(sorted(probe_terms))
         for tp in fetched.values():
             if 0 < tp.df <= self.r.stop_term_limit:
