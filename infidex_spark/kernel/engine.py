@@ -533,11 +533,10 @@ class FullSearch:
                     for word in vocab.ld1(w):
                         docs.update(word_docs(word))
             # affix lookup (SupportAffix): indexed words extending the
-            # query word as prefix, or ending with it
+            # query word as prefix, or ending with it — bounded by the
+            # reference's shared 4096-term budget (WordMatcher.cs:41)
             if self.setup.cover_prefix_suffix:
-                for word in vocab.with_prefix(w):
-                    docs.update(word_docs(word))
-                for word in vocab.with_suffix(w):
+                for word in vocab.affix_terms(w):
                     docs.update(word_docs(word))
         return sorted(docs)
 

@@ -101,6 +101,7 @@ class IndexReader:
                 ds.dataset(stop_path).to_table()["term"].to_pylist()
             )
         self._dl_cache: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+        self._key_order: np.ndarray | None = None  # lazy argsort by doc_key
         if self.total_docs <= self.DOC_CACHE_LIMIT:
             tbl = self._doc_stats.to_table(columns=["doc_id", "doc_key", "dl"])
             doc_id = tbl["doc_id"].to_numpy()
@@ -236,6 +237,37 @@ class IndexReader:
             tbl["doc_key"].to_numpy()[order][pos],
         )
 
+    def ids_for_keys(self, keys: list[int]) -> dict[int, list[int]]:
+        """doc_key -> sorted internal doc_ids (all segments of the doc).
+        Bounded by |keys|: served from the in-memory doc_stats cache via a
+        once-built key-sorted permutation, else a doc_key pushdown scan."""
+        if not keys:
+            return {}
+        if self._dl_cache is not None:
+            ids, dkeys, _ = self._dl_cache
+            if self._key_order is None:
+                self._key_order = np.argsort(dkeys, kind="stable")
+            order = self._key_order
+            keys_sorted = dkeys[order]
+            want = np.asarray(sorted(set(keys)), dtype=np.int64)
+            lo = np.searchsorted(keys_sorted, want, "left")
+            hi = np.searchsorted(keys_sorted, want, "right")
+            out: dict[int, list[int]] = {}
+            for k, a, b in zip(want.tolist(), lo.tolist(), hi.tolist()):
+                if b > a:
+                    # stable sort by key keeps doc_id ascending within key
+                    out[k] = ids[order[a:b]].tolist()
+            return out
+        tbl = self._doc_stats.to_table(
+            columns=["doc_id", "doc_key"], filter=ds.field("doc_key").isin(keys)
+        )
+        out = {}
+        for k, i in sorted(
+            zip(tbl["doc_key"].to_pylist(), tbl["doc_id"].to_pylist())
+        ):
+            out.setdefault(k, []).append(i)
+        return out
+
 
 class MultiReader:
     """Reader over a main segment plus delta segments (streaming ingest)
@@ -349,6 +381,15 @@ class MultiReader:
         if not done.all():
             raise KeyError("doc_ids not found in any segment")
         return dl, keys
+
+    def ids_for_keys(self, keys: list[int]) -> dict[int, list[int]]:
+        out: dict[int, list[int]] = {}
+        for r in self.readers:
+            for k, ids in r.ids_for_keys(keys).items():
+                out.setdefault(k, []).extend(ids)
+        for ids in out.values():
+            ids.sort()
+        return out
 
 
 class QueryExecutor:

