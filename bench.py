@@ -87,8 +87,11 @@ def main() -> None:
 
     rr = RerankExecutor(IndexReader(out_dir))
     rr_p50: dict[str, float] = {}
+    rr_cold: dict[str, float] = {}
     for name, text in [("typo", QUERIES["typo"]), ("multi_term", QUERIES["multi_term"]), ("flagship", QUERIES["flagship"])]:
-        rr.search(text, 10)
+        t = time.time()
+        rr.search(text, 10)  # first evaluation: caches cold
+        rr_cold[name] = round(time.time() - t, 5)
         times = []
         for _ in range(max(5, reps // 2)):
             t = time.time()
@@ -96,7 +99,7 @@ def main() -> None:
             times.append(time.time() - t)
         rr_p50[name] = round(statistics.median(times), 5)
 
-    extras = {"rerank_p50_sec": rr_p50}
+    extras = {"rerank_p50_sec": rr_p50, "rerank_cold_sec": rr_cold}
     scaling_path = os.path.join(REPO, "SCALING.json")
     if os.path.exists(scaling_path):
         try:

@@ -46,20 +46,36 @@ class CoverageEngine:
         self.term_df = term_df
         self.total_docs = total_docs
         self.word_idf = word_idf
-        self._query_idf_cache: dict[str, list[float]] = {}
+        self._ctx_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------ query prep
 
     def prepare_query(self, query: str) -> dict:
+        ctx = self._ctx_cache.get(query)
+        if ctx is not None:
+            return ctx
+        from infidex_spark.kernel.coverage.state import _raw_tokens
+
         tokens, _ = tokenize_coverage(query, self.setup.min_word_size)
-        idfs = self._query_idf_cache.get(query)
-        if idfs is None:
-            idfs = [self._term_idf(t.text) for t in tokens]
-            self._query_idf_cache[query] = idfs
+        idfs = [self._term_idf(t.text) for t in tokens]
         word_level = None
         if self.word_idf is not None and tokens:
             word_level = [self.word_idf.get(t.text, 0.0) for t in tokens]
-        return {"query": query, "tokens": tokens, "idfs": idfs, "word_level": word_level}
+        ctx = {
+            "query": query,
+            "tokens": tokens,
+            "idfs": idfs,
+            "word_level": word_level,
+            # raw (unfiltered, duplicates kept) query tokens for fusion
+            "q_raw": _raw_tokens(query, 0),
+            # per-query memo of pure pair metrics (q_token, doc_word) ->
+            # result, shared across all candidates/searches of this query
+            "memo": {},
+        }
+        if len(self._ctx_cache) >= 4096:
+            self._ctx_cache.clear()
+        self._ctx_cache[query] = ctx
+        return ctx
 
     def _term_idf(self, token: str) -> float:
         """Average BM25 idf over the token's n-grams; fallback
@@ -79,17 +95,44 @@ class CoverageEngine:
 
     # ------------------------------------------------------------- features
 
+    def doc_view(self, doc_text: str):
+        """Query-independent per-doc token views: (raw unfiltered tokens,
+        filtered+deduped matcher tokens, raw filtered count, raw-text
+        set). Callers may cache the result per doc and pass it to
+        calculate_features."""
+        from infidex_spark.kernel.coverage.state import _raw_tokens
+
+        d_raw = _raw_tokens(doc_text, 0)
+        min_ws = self.setup.min_word_size
+        seen: set[str] = set()
+        doc_tokens: list[Token] = []
+        raw_count = 0
+        for t in d_raw:
+            if len(t.text) >= min_ws:
+                raw_count += 1
+                if t.text not in seen:
+                    seen.add(t.text)
+                    doc_tokens.append(t)
+        d_set = frozenset(t.text for t in d_raw)
+        return d_raw, doc_tokens, raw_count, d_set
+
     def calculate_features(
-        self, ctx: dict, doc_text: str, lcs_sum: float
+        self, ctx: dict, doc_text: str, lcs_sum: float,
+        d_view=None,
     ) -> CoverageFeatures:
+        """d_view: optional precomputed doc_view(doc_text) — callers with a
+        per-doc cache pass it to skip re-tokenization."""
         tokens: list[Token] = ctx["tokens"]
         if not tokens:
             return CoverageFeatures()
-        doc_tokens, raw_count = tokenize_coverage(doc_text, self.setup.min_word_size)
+        if d_view is None:
+            d_view = self.doc_view(doc_text)
+        d_raw, doc_tokens, raw_count, d_set = d_view
         state = MatchState(
             query_tokens=tokens, doc_tokens=doc_tokens, doc_token_count=raw_count
         )
         state.term_idf = list(ctx["idfs"])
+        state.memo = ctx["memo"]
 
         if self.setup.cover_whole_words:
             match_whole_words(state)
@@ -111,6 +154,8 @@ class CoverageEngine:
         from infidex_spark.kernel.coverage.fusion import compute_fusion_signals
 
         features.fusion = compute_fusion_signals(
-            ctx["query"], doc_text, self.setup.min_word_size
+            ctx["query"], doc_text, self.setup.min_word_size,
+            q_tokens=ctx["q_raw"], d_tokens=d_raw, memo=ctx["memo"],
+            d_set=d_set,
         )
         return features

@@ -29,20 +29,40 @@ class FusionSignals:
     single_char_last_token_boost: int = 0
 
 
-def compute_fusion_signals(query: str, doc_text: str, min_stem_length: int) -> FusionSignals:
-    q_tokens = _raw_tokens(query, 0)
-    d_tokens = _raw_tokens(doc_text, 0)
+def compute_fusion_signals(
+    query: str,
+    doc_text: str,
+    min_stem_length: int,
+    q_tokens: list[Token] | None = None,
+    d_tokens: list[Token] | None = None,
+    memo: dict | None = None,
+    d_set: frozenset[str] | None = None,
+) -> FusionSignals:
+    """q_tokens/d_tokens: optional precomputed _raw_tokens(text, 0) (the
+    engine passes its per-query / per-candidate tokens to avoid double
+    tokenization); d_set: optional set of d_tokens texts; memo: optional
+    per-query pair-metric memo."""
+    if q_tokens is None:
+        q_tokens = _raw_tokens(query, 0)
+    if d_tokens is None:
+        d_tokens = _raw_tokens(doc_text, 0)
+    if memo is None:
+        memo = {}
+    if d_set is None:
+        d_set = frozenset(d.text for d in d_tokens)
     q_count, d_count = len(q_tokens), len(d_tokens)
     sig = FusionSignals(unfiltered_query_token_count=q_count)
     if q_count == 0 or d_count == 0:
         return sig
 
     sig.lexical_prefix_last, sig.all_preceding_exact = _check_prefix_last(
-        q_tokens, d_tokens
+        q_tokens, d_tokens, d_set
     )
-    sig.is_perfect_doc_lexical = _perfect_doc(q_tokens, d_tokens)
+    sig.is_perfect_doc_lexical = _perfect_doc(q_tokens, d_tokens, memo)
     if q_count >= 2:
-        sig.has_stem_evidence = _stem_evidence(q_tokens, d_tokens, min_stem_length)
+        sig.has_stem_evidence = _stem_evidence(
+            q_tokens, d_tokens, min_stem_length, memo
+        )
 
     first = q_tokens[0].text
     if len(first) >= ANCHOR_STEM_LENGTH:
@@ -65,7 +85,7 @@ def compute_fusion_signals(query: str, doc_text: str, min_stem_length: int) -> F
                 sig.trailing_match_density = int(min(max(density * 255.0, 0.0), 255.0))
 
     if q_count == 1:
-        sim = _single_term_similarity(q_tokens[0].text, d_tokens)
+        sim = _single_term_similarity(q_tokens[0].text, d_tokens, memo)
         sig.single_term_lexical_sim = int(min(max(sim * 255.0, 0.0), 255.0))
 
     if q_count >= 2:
@@ -75,7 +95,9 @@ def compute_fusion_signals(query: str, doc_text: str, min_stem_length: int) -> F
     return sig
 
 
-def _check_prefix_last(q_tokens: list[Token], d_tokens: list[Token]) -> tuple[bool, bool]:
+def _check_prefix_last(
+    q_tokens: list[Token], d_tokens: list[Token], d_set: frozenset[str]
+) -> tuple[bool, bool]:
     q_count = len(q_tokens)
     if q_count == 1:
         q = q_tokens[0].text
@@ -86,7 +108,7 @@ def _check_prefix_last(q_tokens: list[Token], d_tokens: list[Token]) -> tuple[bo
     for qt in q_tokens[:-1]:
         if not qt.text:
             continue
-        if not any(d.text == qt.text for d in d_tokens):
+        if qt.text not in d_set:
             return False, False
     last = q_tokens[-1].text
     if not last:
@@ -97,43 +119,73 @@ def _check_prefix_last(q_tokens: list[Token], d_tokens: list[Token]) -> tuple[bo
     return False, False
 
 
-def _perfect_doc(q_tokens: list[Token], d_tokens: list[Token]) -> bool:
+def _perfect_doc(q_tokens: list[Token], d_tokens: list[Token], memo: dict) -> bool:
+    # per doc-word result is query-constant: memoize on the word text
     for d in d_tokens:
-        if not any(
-            d.text.startswith(q.text) or q.text.startswith(d.text) for q in q_tokens
-        ):
+        mkey = ("pd", d.text)
+        ok = memo.get(mkey)
+        if ok is None:
+            ok = any(
+                d.text.startswith(q.text) or q.text.startswith(d.text)
+                for q in q_tokens
+            )
+            memo[mkey] = ok
+        if not ok:
             return False
     return True
 
 
-def _stem_evidence(q_tokens: list[Token], d_tokens: list[Token], min_stem: int) -> bool:
+def _stem_pair(q: str, dt: str, min_stem: int) -> bool:
+    """Does doc word dt provide stem evidence for unmatched query term q?"""
+    if len(dt) < min_stem:
+        return False
+    if q.startswith(dt):
+        return True
+    if min(len(q), len(dt)) >= min_stem:
+        prefix_len = 0
+        for a, b in zip(q, dt):
+            if a == b:
+                prefix_len += 1
+            else:
+                break
+        if prefix_len >= min_stem:
+            return True
+    return False
+
+
+def _stem_evidence(
+    q_tokens: list[Token], d_tokens: list[Token], min_stem: int, memo: dict
+) -> bool:
     unmatched = 0
     evidence = 0
+    mget = memo.get
     for qt in q_tokens:
         q = qt.text
         if len(q) < min_stem:
             continue
-        if any(d.text and (d.text == q or d.text.startswith(q)) for d in d_tokens):
+        prefixed = False
+        for d in d_tokens:
+            mkey = ("sw", q, d.text)
+            hit = mget(mkey)
+            if hit is None:
+                dt = d.text
+                hit = bool(dt) and (dt == q or dt.startswith(q))
+                memo[mkey] = hit
+            if hit:
+                prefixed = True
+                break
+        if prefixed:
             continue
         unmatched += 1
         for d in d_tokens:
-            dt = d.text
-            if len(dt) < min_stem:
-                continue
-            if q.startswith(dt):
+            mkey = ("st", q, d.text)
+            hit = mget(mkey)
+            if hit is None:
+                hit = _stem_pair(q, d.text, min_stem)
+                memo[mkey] = hit
+            if hit:
                 evidence += 1
                 break
-            max_check = min(len(q), len(dt))
-            if max_check >= min_stem:
-                prefix_len = 0
-                for a, b in zip(q, dt):
-                    if a == b:
-                        prefix_len += 1
-                    else:
-                        break
-                if prefix_len >= min_stem:
-                    evidence += 1
-                    break
     return unmatched > 0 and evidence == unmatched
 
 
@@ -172,7 +224,27 @@ def _single_char_last_token(
     return 0
 
 
-def _single_term_similarity(query: str, d_tokens: list[Token]) -> float:
+def _sts_token(query: str, t: str, q_len: int) -> float:
+    """Per-token similarity contribution (query-constant: memoized)."""
+    idx = query.find(t)
+    if idx >= 0:
+        return (len(t) / q_len) * (1.0 - idx / q_len)
+    max_k = min(q_len, len(t))
+    best_k = 0
+    for length in range(max_k, 1, -1):
+        if query[q_len - length :] == t[:length]:
+            best_k = length
+            break
+    prefix_suffix = best_k / q_len if best_k else 0.0
+    fuzzy = 0.0
+    if len(t) <= 32:
+        dist = damerau_restricted(query, t, 2)
+        if dist <= 2:
+            fuzzy = (q_len - dist) / q_len
+    return max(prefix_suffix, fuzzy)
+
+
+def _single_term_similarity(query: str, d_tokens: list[Token], memo: dict) -> float:
     q_len = len(query)
     if q_len < 3:
         return 0.0
@@ -181,24 +253,12 @@ def _single_term_similarity(query: str, d_tokens: list[Token]) -> float:
         t = d.text
         if len(t) < 2:
             continue
-        idx = query.find(t)
-        if idx >= 0:
-            score = (len(t) / q_len) * (1.0 - idx / q_len)
-            best = max(best, score)
-            continue
-        max_k = min(q_len, len(t))
-        best_k = 0
-        for length in range(max_k, 1, -1):
-            if query[q_len - length :] == t[:length]:
-                best_k = length
-                break
-        prefix_suffix = best_k / q_len if best_k else 0.0
-        fuzzy = 0.0
-        if len(t) <= 32:
-            dist = damerau_restricted(query, t, 2)
-            if dist <= 2:
-                fuzzy = (q_len - dist) / q_len
-        best = max(best, prefix_suffix, fuzzy)
+        mkey = ("ss", t)
+        score = memo.get(mkey)
+        if score is None:
+            score = _sts_token(query, t, q_len)
+            memo[mkey] = score
+        best = max(best, score)
     # two-segment heuristic: query split across two doc tokens
     MIN_SEG = 3
     if q_len >= 2 * MIN_SEG:
@@ -206,13 +266,22 @@ def _single_term_similarity(query: str, d_tokens: list[Token]) -> float:
         prefix_frag = query[:seg_len]
         suffix_frag = query[q_len - seg_len :]
         p_idx = s_idx = -1
+        mget = memo.get
         for i, d in enumerate(d_tokens):
             t = d.text
             if len(t) < 3:
                 continue
-            if p_idx == -1 and (t.startswith(prefix_frag) or prefix_frag.startswith(t)):
+            mkey = ("2s", t)
+            flags = mget(mkey)
+            if flags is None:
+                flags = (
+                    t.startswith(prefix_frag) or prefix_frag.startswith(t),
+                    t.endswith(suffix_frag) or suffix_frag.endswith(t),
+                )
+                memo[mkey] = flags
+            if p_idx == -1 and flags[0]:
                 p_idx = i
-            if s_idx == -1 and (t.endswith(suffix_frag) or suffix_frag.endswith(t)):
+            if s_idx == -1 and flags[1]:
                 s_idx = i
             if p_idx != -1 and s_idx != -1:
                 break

@@ -108,6 +108,8 @@ def _match_doc_joined(state: MatchState) -> None:
             break
         d1, d2 = state.doc_tokens[i], state.doc_tokens[next_idx]
         joined_len = len(d1.text) + len(d2.text)
+        if joined_len not in state.q_len_set:
+            continue
         match_index = -1
         for j in range(q_count):
             if state.q_active[j]:
@@ -188,7 +190,11 @@ def match_fuzzy_words(state: MatchState, setup: CoverageConfig) -> None:
                     continue
                 if special and (not d.text or d.text[0] != q.text[0]):
                     continue
-                dist = damerau_restricted(q.text, d.text, edit_dist)
+                mkey = ("f", q.text, d.text, edit_dist)
+                dist = state.memo.get(mkey)
+                if dist is None:
+                    dist = damerau_restricted(q.text, d.text, edit_dist)
+                    state.memo[mkey] = dist
                 if dist <= edit_dist:
                     state.word_hits += 1
                     state.num_fuzzy += q_len - dist
@@ -239,7 +245,25 @@ def _affix_credit(state: MatchState, i: int, j: int, score: float, is_prefix: bo
     state.d_active[j] = False
 
 
+def _exact_affix_pair(q: str, d: str) -> tuple[bool, float, bool]:
+    """Pure pair function behind pass 1 of PrefixSuffixMatcher (memoized
+    per query in MatchState.memo)."""
+    if len(q) == len(d):
+        return False, 0.0, False
+    if len(q) < len(d):
+        if d.startswith(q):
+            return True, float(len(q)), True
+        if d.endswith(q):
+            return True, float(max(1, len(q) // 2)), False
+        if len(q) >= 4 and q in d:
+            return True, len(q) * 0.6, False
+    elif q.endswith(d):
+        return True, float(len(d)), False
+    return False, 0.0, False
+
+
 def _match_exact_affix(state: MatchState, q_order: list[int], d_order: list[int]) -> None:
+    memo = state.memo
     for i in q_order:
         if not state.q_active[i]:
             continue
@@ -248,26 +272,38 @@ def _match_exact_affix(state: MatchState, q_order: list[int], d_order: list[int]
             if not state.d_active[j]:
                 continue
             d = state.doc_tokens[j].text
-            if len(q) == len(d):
-                continue
-            matched, score, is_prefix = False, 0.0, False
-            if len(q) < len(d):
-                if d.startswith(q):
-                    matched, score, is_prefix = True, float(len(q)), True
-                elif d.endswith(q):
-                    matched, score = True, float(max(1, len(q) // 2))
-                elif len(q) >= 4 and q in d:
-                    matched, score = True, len(q) * 0.6
-            else:
-                if q.endswith(d):
-                    matched, score = True, float(len(d))
+            mkey = ("a", q, d)
+            res = memo.get(mkey)
+            if res is None:
+                res = _exact_affix_pair(q, d)
+                memo[mkey] = res
+            matched, score, is_prefix = res
             if matched:
                 _affix_credit(state, i, j, score, is_prefix)
                 break
 
 
+def _fuzzy_prefix_pair(q: str, d: str) -> tuple[bool, float]:
+    """Pure pair function behind pass 2 of PrefixSuffixMatcher (memoized
+    per query in MatchState.memo). Caller guarantees len(q) < len(d)."""
+    q_len = len(q)
+    dist = damerau_restricted(q, d[:q_len], 1)
+    if dist <= 1:
+        return True, max(q_len - dist, 0.1)
+    if len(d) > q_len:
+        dist = damerau_restricted(q, d[: q_len + 1], 1)
+        if dist <= 1:
+            return True, max(q_len - dist, 0.1)
+        if q_len > 1:
+            dist = damerau_restricted(q, d[: q_len - 1], 1)
+            if dist <= 1:
+                return True, max(q_len - 1 - dist, 0.1)
+    return False, 0.0
+
+
 def _match_fuzzy_prefix(state: MatchState, q_order: list[int], d_order: list[int]) -> None:
     q_count = state.q_count
+    memo = state.memo
     for i in q_order:
         if not state.q_active[i]:
             continue
@@ -281,18 +317,12 @@ def _match_fuzzy_prefix(state: MatchState, q_order: list[int], d_order: list[int
             d = state.doc_tokens[j].text
             if q_len >= len(d):
                 continue
-            matched, score = False, 0.0
-            dist = damerau_restricted(q, d[:q_len], 1)
-            if dist <= 1:
-                matched, score = True, max(q_len - dist, 0.1)
-            elif len(d) > q_len:
-                dist = damerau_restricted(q, d[: q_len + 1], 1)
-                if dist <= 1:
-                    matched, score = True, max(q_len - dist, 0.1)
-                elif q_len > 1:
-                    dist = damerau_restricted(q, d[: q_len - 1], 1)
-                    if dist <= 1:
-                        matched, score = True, max(q_len - 1 - dist, 0.1)
+            mkey = ("p", q, d)
+            res = memo.get(mkey)
+            if res is None:
+                res = _fuzzy_prefix_pair(q, d)
+                memo[mkey] = res
+            matched, score = res
             if matched:
                 _affix_credit(state, i, j, score, is_prefix=False)
                 break

@@ -11,11 +11,13 @@ reference's CoverageTokenizer sets Position = currentPos).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from infidex_spark.kernel.tokenize import DELIMITERS
 
 _DELIMS = frozenset(DELIMITERS)
+_WORD_RE = re.compile("[^" + re.escape(DELIMITERS) + "]+")
 
 
 @dataclass
@@ -25,19 +27,15 @@ class Token:
 
 
 def _raw_tokens(text: str, min_word_size: int) -> list[Token]:
-    out: list[Token] = []
-    i, n = 0, len(text)
-    while i < n:
-        while i < n and text[i] in _DELIMS:
-            i += 1
-        if i >= n:
-            break
-        start = i
-        while i < n and text[i] not in _DELIMS:
-            i += 1
-        if i - start >= min_word_size:
-            out.append(Token(text[start:i], start))
-    return out
+    # regex scan (C speed) over non-delimiter runs; identical output to
+    # the per-char loop (delimiter set is a fixed char class)
+    if min_word_size <= 1:
+        return [Token(m.group(), m.start()) for m in _WORD_RE.finditer(text)]
+    return [
+        Token(g, m.start())
+        for m in _WORD_RE.finditer(text)
+        if len(g := m.group()) >= min_word_size
+    ]
 
 
 def tokenize_coverage(
@@ -72,6 +70,7 @@ class MatchState:
     term_has_prefix: list[bool] = field(default_factory=list)
     term_first_pos: list[int] = field(default_factory=list)
     term_idf: list[float] = field(default_factory=list)
+    memo: dict = field(default_factory=dict)  # per-query pair-metric memo
     word_hits: int = 0
     num_whole: float = 0.0
     num_joined: float = 0.0
@@ -91,6 +90,10 @@ class MatchState:
         self.term_has_prefix = [False] * q
         self.term_first_pos = [-1] * q
         self.term_idf = [0.0] * q
+        # precomputed query-token length set (cheap precheck for the
+        # doc-joined matcher: a doc bigram can only match a q token of
+        # exactly the joined length)
+        self.q_len_set = {len(t.text) for t in self.query_tokens}
 
     @property
     def q_count(self) -> int:

@@ -36,6 +36,9 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
+_TERM_MISS = object()  # negative-cache marker in IndexReader._term_cache
+
+
 @dataclass
 class TermPostings:
     term: str
@@ -102,6 +105,8 @@ class IndexReader:
             )
         self._dl_cache: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._key_order: np.ndarray | None = None  # lazy argsort by doc_key
+        self._term_cache: dict[str, TermPostings | object] = {}
+        self._term_cache_size = 0
         if self.total_docs <= self.DOC_CACHE_LIMIT:
             tbl = self._doc_stats.to_table(columns=["doc_id", "doc_key", "dl"])
             doc_id = tbl["doc_id"].to_numpy()
@@ -114,24 +119,40 @@ class IndexReader:
 
     # ------------------------------------------------------------- fetch
 
+    TERM_CACHE_MAX_POSTINGS = 20_000_000  # ~total cached doc-id count
+
     def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
+        """Term rows with a bounded postings cache in front of the parquet
+        point reads (the columnar analogue of the reference's mmap'd
+        segments staying in the OS page cache). Misses are cached too."""
         if not terms:
             return {}
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(terms)
+        cache = self._term_cache
+        out: dict[str, TermPostings] = {}
+        missing: list[str] = []
+        for t in set(terms):
+            hit = cache.get(t)
+            if hit is None:
+                missing.append(t)
+            elif hit is not _TERM_MISS:
+                out[t] = hit
+        if not missing:
+            return out
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+        flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(missing)
         tbl = self._postings.to_table(
             columns=["term", "df", "n_docs", "payload", "weights",
                      "block_last_doc", "block_max_w"],
             filter=flt,
         )
-        out: dict[str, TermPostings] = {}
+        found: set[str] = set()
         for i in range(tbl.num_rows):
             term = tbl["term"][i].as_py()
             n = tbl["n_docs"][i].as_py()
             doc_ids, w = decode_postings(
                 tbl["payload"][i].as_py(), tbl["weights"][i].as_py(), n
             )
-            out[term] = TermPostings(
+            tp = TermPostings(
                 term=term,
                 df=tbl["df"][i].as_py(),
                 doc_ids=doc_ids,
@@ -139,6 +160,16 @@ class IndexReader:
                 block_last_doc=np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
                 block_max_w=np.asarray(tbl["block_max_w"][i].as_py(), dtype=np.int64),
             )
+            out[term] = tp
+            found.add(term)
+            if self._term_cache_size + n > self.TERM_CACHE_MAX_POSTINGS:
+                cache.clear()
+                self._term_cache_size = 0
+            cache[term] = tp
+            self._term_cache_size += n
+        for t in missing:
+            if t not in found:
+                cache[t] = _TERM_MISS
         return out
 
     def prefix_count(self, prefix: str) -> int:

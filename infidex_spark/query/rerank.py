@@ -22,7 +22,6 @@ from infidex_spark.kernel.coverage.config import CoverageConfig
 from infidex_spark.kernel.coverage.engine import CoverageEngine
 from infidex_spark.kernel.coverage.fusion_scorer import fusion_calculate
 from infidex_spark.kernel.coverage.metrics import lcs_tolerant
-from infidex_spark.kernel.engine import levenshtein_le1
 from infidex_spark.kernel.normalize import normalize
 from infidex_spark.kernel.tokenize import word_tokens
 from infidex_spark.query.executor import IndexReader, QueryExecutor
@@ -67,6 +66,10 @@ class RerankExecutor:
 
         self._affix_vocab = AffixVocab(self._words) if self._words else None
         self._df_cache: dict[str, int] = {}
+        # per-doc [text, doc_view] cache (the reference keeps documents
+        # parsed in memory; this is the bounded point-read analogue)
+        self._doc_cache: dict[int, list] = {}
+        self.DOC_CACHE_CAP = 1_000_000
         self.engine = CoverageEngine(
             setup=self.setup,
             sizes=reader.sizes,
@@ -82,13 +85,33 @@ class RerankExecutor:
         return self._df_cache[term]
 
     def _doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
-        if not doc_ids:
-            return {}
-        tbl = self.r._doc_meta.to_table(
-            columns=["doc_id", "text"],
-            filter=ds.field("doc_id").isin(doc_ids),
-        )
-        return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        """Texts for doc_ids through the per-doc cache; only cache misses
+        hit parquet (single isin pushdown)."""
+        cache = self._doc_cache
+        missing = [i for i in doc_ids if i not in cache]
+        if missing:
+            tbl = self.r._doc_meta.to_table(
+                columns=["doc_id", "text"],
+                filter=ds.field("doc_id").isin(missing),
+            )
+            if len(cache) + tbl.num_rows > self.DOC_CACHE_CAP:
+                cache.clear()
+            for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+                cache[i] = [t, None]  # doc_view filled lazily
+        out = {}
+        for i in doc_ids:
+            entry = cache.get(i)
+            if entry is not None:
+                out[i] = entry[0]
+        return out
+
+    def _doc_view(self, internal_id: int, text: str):
+        entry = self._doc_cache.get(internal_id)
+        if entry is None:
+            return self.engine.doc_view(text)
+        if entry[1] is None:
+            entry[1] = self.engine.doc_view(entry[0])
+        return entry[1]
 
     def _word_matcher_docs(self, q: str) -> list[int]:
         docs: set[int] = set()
@@ -131,7 +154,10 @@ class RerankExecutor:
         if len(q) >= self.setup.coverage_q_limit_for_error_tolerance:
             tol = int(len(q) * self.setup.coverage_lcs_error_tolerance_relative_q)
 
-        wm_docs = self._word_matcher_docs(q)
+        wm_docs = ctx.get("wm_docs")
+        if wm_docs is None:
+            wm_docs = self._word_matcher_docs(q)
+            ctx["wm_docs"] = wm_docs
         # stage-1 keys -> ALL internal ids sharing the key (bounded by
         # |s1| * segments-per-doc); overlap membership via this id set is
         # exactly "key_of(wm_id) in s1_keys" without fetching keys for the
@@ -157,27 +183,41 @@ class RerankExecutor:
         )
         key_of = dict(zip(proc_ids, proc_keys.tolist()))
         key_to_id = {key: ids[0] for key, ids in ids_by_key.items()}
-        need_texts = set(proc_ids)
-        need_texts.update(key_to_id.values())
+        # per-query feature cache (lives in ctx, i.e. per query string):
+        # repeated searches of a hot query replay candidate evaluation
+        # from memory — the candidate set and processing order are
+        # deterministic per query, so cached (feats, lcs, text) replays
+        # produce bit-identical results
+        ctx_feats: dict[int, tuple] = ctx.setdefault("feats_by_id", {})
+        need_texts = {i for i in proc_ids if i not in ctx_feats}
+        need_texts.update(
+            i for i in key_to_id.values() if i not in ctx_feats
+        )
         texts = self._doc_texts(sorted(need_texts))
 
         entries: list[tuple[float, int, int]] = []
         lcs_by_key: dict[int, int] = {}
         hits_by_key: dict[int, int] = {}
-        feats_by_id: dict[int, object] = {}
         max_word_hits = 0
 
         def process(internal_id: int, key: int, base: float) -> None:
             nonlocal max_word_hits
-            text = texts.get(internal_id, "")
-            lcs = lcs_by_key.get(key)
-            if lcs is None:
-                lcs = min(lcs_tolerant(q, text, tol), 255)
+            cached = ctx_feats.get(internal_id)
+            if cached is None:
+                text = texts.get(internal_id, "")
+                lcs = lcs_by_key.get(key)
+                if lcs is None:
+                    lcs = min(lcs_tolerant(q, text, tol), 255)
+                feats = self.engine.calculate_features(
+                    ctx, text, lcs, d_view=self._doc_view(internal_id, text)
+                )
+                if len(ctx_feats) >= 100_000:
+                    ctx_feats.clear()
+                cached = (feats, lcs, text)
+                ctx_feats[internal_id] = cached
+            feats, lcs, text = cached
+            if key not in lcs_by_key:
                 lcs_by_key[key] = lcs
-            feats = feats_by_id.get(internal_id)
-            if feats is None:
-                feats = self.engine.calculate_features(ctx, text, lcs)
-                feats_by_id[internal_id] = feats
             score, tie = fusion_calculate(q, text, feats, base, min_size)
             if key not in hits_by_key:
                 hits_by_key[key] = min(feats.word_hits, 255)
