@@ -76,6 +76,19 @@ def decode_varints(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
+def _varint_sizes(v: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 byte counts (vectorized)."""
+    tmp = v >> np.uint64(7)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    while True:
+        mask = tmp > 0
+        if not mask.any():
+            break
+        nbytes[mask] += 1
+        tmp = tmp >> np.uint64(7)
+    return nbytes
+
+
 def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> dict:
     """Encode one term's postings (sorted unique doc_ids + uint8 weights).
 
@@ -85,6 +98,8 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> dict:
       block_last_doc : int64[] — last docID of each 128-doc block
       block_max_w    : int64[] — max weight within each block
       block_counts   : int64[] — postings per block (last may be short)
+      block_offsets  : int64[] — byte offset of each block in payload
+                       (enables decoding any block range independently)
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     weights = np.asarray(weights, dtype=np.uint8)
@@ -108,16 +123,21 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> dict:
         block_last = d_padded.reshape(nblocks, BLOCK_SIZE)[:, -1].astype(np.int64)
         counts = np.full(nblocks, BLOCK_SIZE, dtype=np.int64)
         counts[-1] = n - (nblocks - 1) * BLOCK_SIZE
+        sizes = _varint_sizes(gaps.astype(np.uint64))
+        byte_starts = np.cumsum(sizes) - sizes
+        block_offsets = byte_starts[np.arange(0, n, BLOCK_SIZE)]
     else:
         block_max_w = np.zeros(0, dtype=np.int64)
         block_last = np.zeros(0, dtype=np.int64)
         counts = np.zeros(0, dtype=np.int64)
+        block_offsets = np.zeros(0, dtype=np.int64)
     return {
         "payload": encode_varints(gaps.astype(np.uint64)),
         "weights": weights.tobytes(),
         "block_last_doc": block_last,
         "block_max_w": block_max_w,
         "block_counts": counts,
+        "block_offsets": block_offsets,
     }
 
 
@@ -160,14 +180,7 @@ def encode_postings_batch(
         raise ValueError("doc_ids must be strictly increasing within a term")
     # one varint pass over everything + per-value byte counts for slicing
     v = gaps.astype(np.uint64)
-    tmp = v >> np.uint64(7)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    while True:
-        mask = tmp > 0
-        if not mask.any():
-            break
-        nbytes[mask] += 1
-        tmp = tmp >> np.uint64(7)
+    nbytes = _varint_sizes(v)
     byte_ends = np.cumsum(nbytes)
     byte_starts = byte_ends - nbytes
     buf = np.zeros(int(byte_ends[-1]), dtype=np.uint8)
@@ -180,7 +193,7 @@ def encode_postings_batch(
     raw = buf.tobytes()
     wraw = tfs.tobytes()
     # per-term block metadata via reduceat over global block starts
-    payloads, weights_out, bl_last, bl_max, max_tf = [], [], [], [], []
+    payloads, weights_out, bl_last, bl_max, bl_off, max_tf = [], [], [], [], [], []
     for i in range(n_terms):
         s, e = int(starts[i]), int(ends[i])
         if e == s:
@@ -188,6 +201,7 @@ def encode_postings_batch(
             weights_out.append(b"")
             bl_last.append([])
             bl_max.append([])
+            bl_off.append([])
             max_tf.append(0)
             continue
         bstart = int(byte_starts[s])
@@ -198,12 +212,14 @@ def encode_postings_batch(
         bl_max.append(np.maximum.reduceat(tfs[s:e], blk - s).astype(np.int64).tolist())
         last_idx = np.minimum(blk + BLOCK_SIZE - 1, e - 1)
         bl_last.append(doc_ids[last_idx].tolist())
+        bl_off.append((byte_starts[blk] - bstart).tolist())
         max_tf.append(int(tfs[s:e].max()))
     return {
         "payload": payloads,
         "weights": weights_out,
         "block_last_doc": bl_last,
         "block_max_w": bl_max,
+        "block_offsets": bl_off,
         "n_docs": lens.tolist(),
         "max_tf": max_tf,
     }
@@ -214,4 +230,37 @@ def decode_postings(payload: bytes, weights: bytes, n: int) -> tuple[np.ndarray,
     gaps = decode_varints(payload, n).astype(np.int64)
     doc_ids = np.cumsum(gaps)
     w = np.frombuffer(weights, dtype=np.uint8)[:n]
+    return doc_ids, w
+
+
+def decode_posting_blocks(
+    payload: bytes,
+    weights: bytes,
+    n: int,
+    block_offsets: np.ndarray,
+    block_last_doc: np.ndarray,
+    b0: int,
+    b1: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only blocks [b0, b1) of a term's postings.
+
+    Gap encoding never resets at block boundaries, so block b0's first
+    value rebases on block_last_doc[b0-1]; byte offsets make the slice
+    independently decodable. Returns (doc_ids int64[], weights uint8[])
+    for exactly those blocks.
+    """
+    nblocks = len(block_offsets)
+    b0 = max(0, b0)
+    b1 = min(nblocks, b1)
+    if b1 <= b0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint8)
+    p0 = int(block_offsets[b0])
+    p1 = int(block_offsets[b1]) if b1 < nblocks else len(payload)
+    s = b0 * BLOCK_SIZE
+    e = min(b1 * BLOCK_SIZE, n)
+    count = e - s
+    gaps = decode_varints(payload[p0:p1], count).astype(np.int64)
+    base = int(block_last_doc[b0 - 1]) if b0 > 0 else 0
+    doc_ids = np.cumsum(gaps) + base
+    w = np.frombuffer(weights, dtype=np.uint8)[s:e]
     return doc_ids, w

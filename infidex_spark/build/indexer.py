@@ -76,6 +76,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("weights", T.BinaryType(), False),
         T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
         T.StructField("block_max_w", T.ArrayType(T.IntegerType()), False),
+        T.StructField("block_offsets", T.ArrayType(T.LongType()), False),
         T.StructField("bucket", T.IntegerType(), False),
     ]
 )
@@ -143,6 +144,7 @@ def _encode_sorted_stream():
                     "weights": enc["weights"],
                     "block_last_doc": enc["block_last_doc"],
                     "block_max_w": enc["block_max_w"],
+                    "block_offsets": enc["block_offsets"],
                     "bucket": np.asarray(buckets, dtype=np.int32),
                 }
             )

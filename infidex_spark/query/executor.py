@@ -19,13 +19,11 @@ from __future__ import annotations
 import json
 import os
 import zlib
-from dataclasses import dataclass
-
 import numpy as np
 import pyarrow.compute as pc
 import pyarrow.dataset as ds
 
-from infidex_spark.build.codec import decode_postings
+from infidex_spark.build.codec import BLOCK_SIZE, decode_postings
 from infidex_spark.kernel.bm25 import compute_idf, term_max_score, term_score
 from infidex_spark.kernel.normalize import normalize
 from infidex_spark.kernel.tokenize import search_tokens, word_tokens
@@ -39,14 +37,145 @@ def term_bucket(term: str, n_buckets: int) -> int:
 _TERM_MISS = object()  # negative-cache marker in IndexReader._term_cache
 
 
-@dataclass
 class TermPostings:
-    term: str
-    df: int
-    doc_ids: np.ndarray  # int64, sorted
-    tfs: np.ndarray  # float32
-    block_last_doc: np.ndarray
-    block_max_w: np.ndarray
+    """One term's postings with LAZY decode.
+
+    Constructed either from decoded arrays (doc_ids/tfs) or from the raw
+    encoded row (payload/weights/n_docs/block_offsets). Accessing
+    .doc_ids/.tfs decodes the full list once; lookup(docs) decodes only
+    the 128-doc blocks that contain probe docs (block byte offsets), so
+    WAND scoring against a small candidate set never pays a hot term's
+    full decode (reference analogue: MMapBlockPostingsEnum skip reads)."""
+
+    __slots__ = (
+        "term", "df", "block_last_doc", "block_max_w",
+        "_payload", "_weights", "_n", "_block_offsets",
+        "_doc_ids", "_tfs", "_blocks",
+    )
+
+    def __init__(
+        self,
+        term: str,
+        df: int,
+        doc_ids: np.ndarray | None = None,
+        tfs: np.ndarray | None = None,
+        block_last_doc: np.ndarray | None = None,
+        block_max_w: np.ndarray | None = None,
+        payload: bytes | None = None,
+        weights: bytes | None = None,
+        n_docs: int | None = None,
+        block_offsets: np.ndarray | None = None,
+    ):
+        self.term = term
+        self.df = df
+        self.block_last_doc = (
+            block_last_doc if block_last_doc is not None else np.zeros(0, dtype=np.int64)
+        )
+        self.block_max_w = (
+            block_max_w if block_max_w is not None else np.zeros(0, dtype=np.int64)
+        )
+        self._payload = payload
+        self._weights = weights
+        self._n = n_docs if n_docs is not None else (doc_ids.size if doc_ids is not None else 0)
+        self._block_offsets = block_offsets
+        self._doc_ids = doc_ids
+        self._tfs = tfs
+        self._blocks: int | None = None  # cumulative lazily-decoded blocks
+
+    @property
+    def n_docs(self) -> int:
+        return self._n
+
+    def _decode_full(self) -> None:
+        doc_ids, w = decode_postings(self._payload or b"", self._weights or b"", self._n)
+        self._doc_ids = doc_ids
+        self._tfs = w.astype(np.float32)
+        self._blocks = None
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        if self._doc_ids is None:
+            self._decode_full()
+        return self._doc_ids
+
+    @property
+    def tfs(self) -> np.ndarray:
+        if self._tfs is None:
+            self._decode_full()
+        return self._tfs
+
+    @property
+    def is_decoded(self) -> bool:
+        return self._doc_ids is not None
+
+    def lookup(self, docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Membership + tf for sorted probe docs.
+
+        Returns (hit bool[], tf float32[]) with hit aligned to docs and tf
+        aligned to docs[hit]. While the term is still encoded, only the
+        contiguous block runs containing probes are decoded; once the
+        probes would touch a large fraction of the blocks (or cumulative
+        lazy decodes exceed the list size), it switches to one full decode
+        — dense terms probed densely degrade to exactly the old eager
+        behavior instead of per-block overhead."""
+        if docs.size == 0:
+            return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.float32)
+        if self._doc_ids is None and self._block_offsets is not None:
+            bl = self.block_last_doc
+            if bl.size == 0:
+                return np.zeros(docs.size, dtype=bool), np.zeros(0, dtype=np.float32)
+            bidx = np.searchsorted(bl, docs)
+            n_valid = int(np.searchsorted(bidx, bl.size, "left"))
+            u = np.unique(bidx[:n_valid])
+            self._blocks = (self._blocks or 0) + int(u.size)
+            if (
+                u.size * 4 >= bl.size  # touching >=25% of blocks
+                or self._blocks * BLOCK_SIZE * 2 >= self._n  # cumulative
+            ):
+                self._decode_full()
+            else:
+                return self._lookup_blocks(docs, bidx, n_valid, u)
+        ids, tfs = self.doc_ids, self.tfs
+        if ids.size == 0:
+            return np.zeros(docs.size, dtype=bool), np.zeros(0, dtype=np.float32)
+        pos = np.searchsorted(ids, docs)
+        pos_c = np.clip(pos, 0, ids.size - 1)
+        hit = ids[pos_c] == docs
+        return hit, tfs[pos_c[hit]]
+
+    def _lookup_blocks(
+        self, docs: np.ndarray, bidx: np.ndarray, n_valid: int, u: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        from infidex_spark.build.codec import decode_posting_blocks
+
+        hit = np.zeros(docs.size, dtype=bool)
+        tfv = np.zeros(docs.size, dtype=np.float32)
+        if u.size == 0:
+            return hit, tfv[hit]
+        # contiguous runs of touched blocks; bidx is monotone (docs are
+        # sorted), so each run maps to one contiguous probe slice
+        run_starts = np.flatnonzero(np.diff(u) > 1) + 1
+        starts = np.concatenate(([0], run_starts))
+        ends = np.concatenate((run_starts, [u.size]))
+        vdocs = docs[:n_valid]
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            b0, b1 = int(u[s]), int(u[e - 1]) + 1
+            ids_r, w_r = decode_posting_blocks(
+                self._payload or b"", self._weights or b"", self._n,
+                self._block_offsets, self.block_last_doc, b0, b1,
+            )
+            if ids_r.size == 0:
+                continue
+            i0 = int(np.searchsorted(bidx[:n_valid], b0, "left"))
+            i1 = int(np.searchsorted(bidx[:n_valid], b1, "left"))
+            d = vdocs[i0:i1]
+            pos = np.searchsorted(ids_r, d)
+            pos_c = np.clip(pos, 0, ids_r.size - 1)
+            h = ids_r[pos_c] == d
+            idx = i0 + np.flatnonzero(h)
+            hit[idx] = True
+            tfv[idx] = w_r[pos_c[h]]
+        return hit, tfv[hit]
 
 
 class IndexReader:
@@ -140,26 +269,40 @@ class IndexReader:
             return out
         buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
         flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(missing)
-        tbl = self._postings.to_table(
-            columns=["term", "df", "n_docs", "payload", "weights",
-                     "block_last_doc", "block_max_w"],
-            filter=flt,
-        )
+        cols = ["term", "df", "n_docs", "payload", "weights",
+                "block_last_doc", "block_max_w"]
+        has_offsets = "block_offsets" in self._postings.schema.names
+        if has_offsets:
+            cols.append("block_offsets")
+        tbl = self._postings.to_table(columns=cols, filter=flt)
         found: set[str] = set()
         for i in range(tbl.num_rows):
             term = tbl["term"][i].as_py()
             n = tbl["n_docs"][i].as_py()
-            doc_ids, w = decode_postings(
-                tbl["payload"][i].as_py(), tbl["weights"][i].as_py(), n
-            )
-            tp = TermPostings(
-                term=term,
-                df=tbl["df"][i].as_py(),
-                doc_ids=doc_ids,
-                tfs=w.astype(np.float32),
-                block_last_doc=np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
-                block_max_w=np.asarray(tbl["block_max_w"][i].as_py(), dtype=np.int64),
-            )
+            if has_offsets:
+                # defer decode: WAND/lookup touch only the blocks they need
+                tp = TermPostings(
+                    term=term,
+                    df=tbl["df"][i].as_py(),
+                    payload=tbl["payload"][i].as_py(),
+                    weights=tbl["weights"][i].as_py(),
+                    n_docs=n,
+                    block_last_doc=np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
+                    block_max_w=np.asarray(tbl["block_max_w"][i].as_py(), dtype=np.int64),
+                    block_offsets=np.asarray(tbl["block_offsets"][i].as_py(), dtype=np.int64),
+                )
+            else:  # legacy index without block byte offsets: eager decode
+                doc_ids, w = decode_postings(
+                    tbl["payload"][i].as_py(), tbl["weights"][i].as_py(), n
+                )
+                tp = TermPostings(
+                    term=term,
+                    df=tbl["df"][i].as_py(),
+                    doc_ids=doc_ids,
+                    tfs=w.astype(np.float32),
+                    block_last_doc=np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
+                    block_max_w=np.asarray(tbl["block_max_w"][i].as_py(), dtype=np.int64),
+                )
             out[term] = tp
             found.add(term)
             if self._term_cache_size + n > self.TERM_CACHE_MAX_POSTINGS:
@@ -515,11 +658,8 @@ class QueryExecutor:
 
         scores = np.zeros(cand.size, dtype=np.float32)
         for i, t in enumerate(active):
-            pos = np.searchsorted(t.doc_ids, cand)
-            pos_c = np.clip(pos, 0, max(t.doc_ids.size - 1, 0))
-            hit = (t.doc_ids.size > 0) & (t.doc_ids[pos_c] == cand)
+            hit, tf = t.lookup(cand)
             if hit.any():
-                tf = t.tfs[pos_c[hit]]
                 scores[hit] += term_score(tf, dl[hit], avgdl, idfs[i])
 
         nz = scores > 0
@@ -601,15 +741,15 @@ class QueryExecutor:
             return self._disjunctive(active, idfs, topk, max_idf)
 
         order = sorted(range(len(active)), key=lambda i: (-idfs[i], i))
-        sets = [active[i].doc_ids for i in order]
+        terms_ord = [active[i] for i in order]
         out = np.zeros(0, dtype=np.int64)
 
-        if len(sets) >= 2:  # tier 0: AND of all
-            out = _intersect_many(sets)
+        if len(terms_ord) >= 2:  # tier 0: AND of all
+            out = _intersect_terms(terms_ord)
             if out.size >= topk * 2:
                 return out
-        if len(sets) >= 3 and out.size < topk * 3:  # tier 1: drop lowest idf
-            out = np.union1d(out, _intersect_many(sets[:-1]))
+        if len(terms_ord) >= 3 and out.size < topk * 3:  # tier 1: drop lowest idf
+            out = np.union1d(out, _intersect_terms(terms_ord[:-1]))
         if out.size < topk * 5:  # tier 2: <=2 selective terms
             cutoff = max_idf * np.float32(0.3)
             picked = 0
@@ -657,12 +797,16 @@ class QueryExecutor:
         return result
 
 
-def _intersect_many(arrays: list[np.ndarray]) -> np.ndarray:
-    out = min(arrays, key=lambda a: a.size)
-    for a in sorted(arrays, key=lambda a: a.size):
-        if a is out:
-            continue
-        out = out[np.isin(out, a, assume_unique=True)]
+def _intersect_terms(terms: list) -> np.ndarray:
+    """AND of TermPostings doc sets: the rarest term drives (full decode of
+    the smallest list only); larger terms are probed via lookup, which
+    block-decodes just the driver's blocks — a hot term in an AND with a
+    rare term never pays its full decode."""
+    ordered = sorted(terms, key=lambda t: t.n_docs)
+    out = ordered[0].doc_ids
+    for t in ordered[1:]:
         if out.size == 0:
             break
+        hit, _ = t.lookup(out)
+        out = out[hit]
     return out

@@ -79,12 +79,11 @@ def wand_topk(
             live = scores + np.float32(block_bound) + remaining > threshold
             if not live.any():
                 continue
-            pos = np.searchsorted(t.doc_ids, docs[live])
-            pos_c = np.clip(pos, 0, max(t.doc_ids.size - 1, 0))
-            hit = (t.doc_ids.size > 0) & (t.doc_ids[pos_c] == docs[live])
+            # lookup decodes only the blocks containing live candidates
+            # when the term is still in encoded form (lazy block decode)
+            hit, tf = t.lookup(docs[live])
             if hit.any():
                 idx = np.flatnonzero(live)[hit]
-                tf = t.tfs[pos_c[hit]]
                 scores[idx] += term_score(tf, cdl[idx], avgdl, idfs[ti])
         # update heap/threshold with this chunk's scored docs
         nz = np.flatnonzero(scores > 0)
