@@ -115,6 +115,86 @@ def tokenize_docs(
     return docs.select("doc_id", "text").mapInPandas(run, schema=TOKENS_SCHEMA)
 
 
+FIELDS_TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.LongType(), False),
+        T.StructField("dfc", T.LongType(), False),
+    ]
+)
+
+
+def tokenize_docs_fields(
+    docs: DataFrame,
+    fields: list[tuple[str, int]],
+    sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
+    start_pad: int = DEFAULT_START_PAD,
+    synonym_map=None,
+) -> DataFrame:
+    """Multi-field tokenization: docs carrying the field columns ->
+    (doc_id, term, tf, dfc) with the tf byte-saturating fold applied
+    per occurrence at its field's weight, exactly as the kernel's
+    FirstCycleAdd port (reference: DocumentFields.cs:124 '§' concat,
+    VectorModel.cs:96-128 DetermineFieldWeight + per-token weight).
+
+    tf depends on the ORDER of occurrence weights (round-to-even at every
+    accumulate), so it cannot be a closed form of the occurrence count;
+    the fold runs per doc inside the Arrow batch. Weight indices:
+    0=High(1.5) 1=Med(1.25) 2=Low(1.0)."""
+    cols = [c for c, _ in fields]
+    widxs = [int(w) for _, w in fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.engine import field_boundaries, field_weight_at
+        from infidex_spark.kernel.normalize import normalize
+        from infidex_spark.kernel.tokenize import index_tokens
+
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            fvals = [pdf[c].fillna("").astype(str).tolist() for c in cols]
+            out_doc: list[int] = []
+            out_term: list[str] = []
+            out_tf: list[int] = []
+            out_dfc: list[int] = []
+            for r, did in enumerate(ids):
+                raw, bounds = field_boundaries(
+                    [(fvals[j][r], widxs[j]) for j in range(len(cols))]
+                )
+                prepped = normalize(raw).lower()
+                if synonym_map is not None and synonym_map.has_mappings:
+                    prepped = synonym_map.canonicalize_text(prepped)
+                acc: dict[str, list] = {}  # term -> [tf, occ, successes]
+                for term, pos in index_tokens(prepped, sizes, start_pad):
+                    w = field_weight_at(pos, bounds)
+                    st = acc.get(term)
+                    if st is None:
+                        # round() is round-half-to-even, matching the
+                        # kernel's np.rint / reference Math.Round
+                        acc[term] = [min(round(w), 255), 1, 0]
+                    else:
+                        st[1] += 1
+                        nw = st[0] + w
+                        if nw <= 255.0:
+                            st[0] = round(nw)
+                            st[2] += 1
+                for term, (tf, occ, succ) in acc.items():
+                    out_doc.append(did)
+                    out_term.append(term)
+                    out_tf.append(tf)
+                    out_dfc.append(occ - succ)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_doc, dtype=np.int64),
+                    "term": out_term,
+                    "tf": np.asarray(out_tf, dtype=np.int64),
+                    "dfc": np.asarray(out_dfc, dtype=np.int64),
+                }
+            )
+
+    return docs.select("doc_id", *cols).mapInPandas(run, schema=FIELDS_TOKENS_SCHEMA)
+
+
 def _encode_sorted_stream():
     """mapInPandas encoder over a bucket-partitioned, term-sorted token
     stream: rows (term, packed, dfc, bucket) sorted by (term, packed)
@@ -224,11 +304,19 @@ def build_index(
     tokens_storage: str = "auto",
     strategy: str = "sortmerge",
     synonym_map=None,
+    fields: list[tuple[str, int]] | None = None,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
 
     docs must have columns (doc_id LONG dense 0..N-1, text STRING) and may
     carry doc_key LONG (defaults to doc_id).
+
+    fields: optional multi-field spec [(column, weight_index), ...] with
+    weight_index 0=High(1.5) 1=Med(1.25) 2=Low(1.0). When given, the
+    indexed text is the '§' concatenation of those columns (a `text`
+    column is derived for doc stats/prefixes/coverage) and per-token tf
+    accumulates with the owning field's weight — the reference's
+    DocumentFields/VectorModel semantics.
 
     aux=False skips the auxiliary structures (prefix postings for the
     short-query path, LD1 variant dictionary for fuzzy expansion) — the
@@ -264,15 +352,33 @@ def build_index(
     if "doc_key" not in docs.columns:
         docs = docs.withColumn("doc_key", F.col("doc_id"))
 
+    if fields is not None:
+        missing_cols = [c for c, _ in fields if c not in docs.columns]
+        if missing_cols:
+            raise ValueError(f"fields columns missing from docs: {missing_cols}")
+        from infidex_spark.kernel.engine import FIELD_DELIM
+
+        # derive the '§'-concatenated text (raw values) for doc stats,
+        # prefixes, doc_meta, and the coverage rerank
+        parts = []
+        for i, (c, _w) in enumerate(fields):
+            if i:
+                parts.append(F.lit(FIELD_DELIM))
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+        docs = docs.withColumn("text", F.concat(*parts))
+
     cap = _tf_cap(field_weight)
     if tokens_storage == "auto":
         tokens_storage = "parquet" if (resume or bucket_groups > 1) else "memory"
     tokens_path = os.path.join(out_dir, "tokens")
-    tokens = tokenize_docs(docs, sizes, start_pad, synonym_map).withColumn(
-        "tf", F.least(F.col("occ"), F.lit(cap))
-    )
-    # df contribution per (term, doc): occ - successful accumulates
-    tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
+    if fields is not None:
+        tokens = tokenize_docs_fields(docs, fields, sizes, start_pad, synonym_map)
+    else:
+        tokens = tokenize_docs(docs, sizes, start_pad, synonym_map).withColumn(
+            "tf", F.least(F.col("occ"), F.lit(cap))
+        )
+        # df contribution per (term, doc): occ - successful accumulates
+        tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
     if tokens_storage == "parquet":
         if not (resume and os.path.isdir(tokens_path)):
             tokens.write.mode("overwrite").parquet(tokens_path)
@@ -474,6 +580,7 @@ def build_index(
         "avgdl": avgdl,
         "sum_dl": float(sum_dl),
         "field_weight": field_weight,
+        "fields": list(fields) if fields is not None else None,
         "tf_cap": cap,
         "stop_term_limit": stop_term_limit,
         "n_stop_terms": int(n_stop),

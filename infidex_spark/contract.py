@@ -408,8 +408,57 @@ def q_ngram_rerank_engine(spark, sf_dir):
     )
 
 
+FIELDS_PROBE_WORDS = ["spark", "join", "the", "src3", "src7", "en", "de"]
+
+
+def q_fields_weighted_tf(spark, sf_dir):
+    """Multi-field weighted tf — the SQL-checkable closed-form projection
+    of the byte-saturating fold (kernel engine FirstCycleAdd port) with
+    fields source=High(1.5), text=Med(1.25), lang=Low(1.0).
+
+    The fold rounds half-to-even at each accumulate; High occurrences come
+    first in concatenation order, so the state stays even through them
+    (round(2k+1.5)=2k+2) and each Med/Low occurrence then adds exactly 1:
+      tf = 2*c_high + c_med + c_low   (c_high > 0)
+      tf = c_med + c_low              (c_high = 0)
+    below byte saturation. The '§'-boundary and pad-offset behaviors are
+    covered bit-exactly by tests/test_fields.py (kernel == spark build)."""
+    docs = _docs(spark, sf_dir)
+
+    def col_words(c: str, cls: str):
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(c).cast("string")), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("term"),
+            F.lit(cls).alias("cls"),
+        )
+
+    u = (
+        col_words("source", "h")
+        .unionAll(col_words("text", "m"))
+        .unionAll(col_words("lang", "l"))
+        .filter(F.col("term").isin(FIELDS_PROBE_WORDS))
+    )
+    agg = u.groupBy("doc_id", "term").agg(
+        F.sum(F.when(F.col("cls") == "h", 1).otherwise(0)).alias("c_h"),
+        F.sum(F.when(F.col("cls") == "m", 1).otherwise(0)).alias("c_m"),
+        F.sum(F.when(F.col("cls") == "l", 1).otherwise(0)).alias("c_l"),
+    )
+    tf = F.when(
+        F.col("c_h") > 0, 2 * F.col("c_h") + F.col("c_m") + F.col("c_l")
+    ).otherwise(F.col("c_m") + F.col("c_l"))
+    return agg.select(
+        "doc_id", "term", tf.cast("long").alias("tf_weighted")
+    )
+
+
 QUERIES = {
     "ngram_rerank_engine": q_ngram_rerank_engine,
+    "fields_weighted_tf": q_fields_weighted_tf,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "join_orders_revenue": q_join_orders_revenue,
@@ -479,6 +528,33 @@ ORACLES = {
         GROUP BY o.o_orderpriority
     """,
     "word_df": f"WITH {_WORDS_CTE} SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY term",
+    "fields_weighted_tf": """
+        WITH fw AS (
+          SELECT doc_id, lower(w) AS term, 'h' AS cls
+          FROM documents, unnest(regexp_split_to_array(lower(source::VARCHAR), '\\s+')) AS t(w)
+          WHERE w <> ''
+          UNION ALL
+          SELECT doc_id, lower(w), 'm'
+          FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(w)
+          WHERE w <> ''
+          UNION ALL
+          SELECT doc_id, lower(w), 'l'
+          FROM documents, unnest(regexp_split_to_array(lower(lang::VARCHAR), '\\s+')) AS t(w)
+          WHERE w <> ''
+        ),
+        agg AS (
+          SELECT doc_id, term,
+                 sum(CASE WHEN cls = 'h' THEN 1 ELSE 0 END) AS c_h,
+                 sum(CASE WHEN cls = 'm' THEN 1 ELSE 0 END) AS c_m,
+                 sum(CASE WHEN cls = 'l' THEN 1 ELSE 0 END) AS c_l
+          FROM fw
+          WHERE term IN ('spark','join','the','src3','src7','en','de')
+          GROUP BY doc_id, term
+        )
+        SELECT doc_id, term,
+               (CASE WHEN c_h > 0 THEN 2*c_h + c_m + c_l ELSE c_m + c_l END)::BIGINT AS tf_weighted
+        FROM agg
+    """,
     "word_postings": f"""
         WITH {_WORDS_CTE}
         SELECT term, doc_id, count(*)::BIGINT AS tf

@@ -40,6 +40,44 @@ from infidex_spark.kernel.tokenize import (
 )
 
 DEFAULT_FIELD_WEIGHT = 1.25  # Weight.Med (Field.cs:34, ConfigurationParameters.cs:16)
+
+# Multi-field indexing (DocumentFields.cs:124, VectorModel.cs:96-128):
+# fields concatenate with '§' and each token scores with the weight of
+# the field it starts in. Weight enum High/Med/Low -> multiplier.
+FIELD_DELIM = "§"  # '§' (VectorModel.cs:79)
+FIELD_WEIGHTS = (1.5, 1.25, 1.0)  # ConfigurationParameters.DefaultFieldWeights
+
+
+def field_boundaries(values: list[str]) -> tuple[str, list[tuple[int, int]]]:
+    """Concatenate field values with '§' and return (raw_text, [(position,
+    weight_index)]) — port of DocumentFields.GetSearchableTexts (scalar
+    path): boundary positions are offsets in the RAW concatenated text."""
+    parts: list[str] = []
+    bounds: list[tuple[int, int]] = []
+    pos = 0
+    for i, (value, widx) in enumerate(values):
+        v = value if value is not None else ""
+        bounds.append((pos, int(widx)))
+        parts.append(v)
+        pos += len(v) + 1  # +1 for the delimiter
+    return FIELD_DELIM.join(parts), bounds
+
+
+def field_weight_at(token_pos: int, bounds: list[tuple[int, int]]) -> float:
+    """VectorModel.DetermineFieldWeight ported exactly, including the
+    reference's quirk that token positions are measured in the PADDED
+    normalized text while boundary positions come from the raw
+    concatenated text (the start-pad shift is part of observable
+    behavior)."""
+    if not bounds:
+        return 1.0
+    widx = 0
+    for bpos, bw in bounds:
+        if bpos <= token_pos:
+            widx = bw
+        else:
+            break
+    return FIELD_WEIGHTS[widx] if widx < len(FIELD_WEIGHTS) else 1.0
 DEFAULT_STOP_TERM_LIMIT = 1_250_000
 
 
@@ -138,19 +176,42 @@ class KernelIndex:
             self._index_one(key, text)
         self._build_doc_lengths()
 
-    def _index_one(self, key: int, text: str) -> None:
+    def index_documents_fields(
+        self, docs: list[tuple[int, list[tuple[str, int]]]]
+    ) -> None:
+        """Multi-field indexing: docs are (key, [(field_value,
+        weight_index)]) with weight_index 0=High(1.5) 1=Med(1.25)
+        2=Low(1.0). Fields concatenate with '§'; each token's tf
+        accumulates with its field's weight (DocumentFields.cs:124,
+        VectorModel.cs:96-128)."""
+        for key, fields in docs:
+            self._index_one(key, fields=fields)
+        self._build_doc_lengths()
+
+    def _index_one(
+        self,
+        key: int,
+        text: str | None = None,
+        fields: list[tuple[str, int]] | None = None,
+    ) -> None:
         doc_id = len(self.doc_keys)
         self.doc_keys.append(key)
+        bounds: list[tuple[int, int]] | None = None
+        if fields is not None:
+            text, bounds = field_boundaries(fields)
         prepped = normalize(text).lower()
         if self.synonym_map is not None and self.synonym_map.has_mappings:
             prepped = self.synonym_map.canonicalize_text(prepped)
-        for term_text, _pos in index_tokens(
+        for term_text, pos in index_tokens(
             prepped, self.index_sizes, self.start_pad, self.stop_pad
         ):
-            self._add_token(term_text, doc_id)
+            w = field_weight_at(pos, bounds) if bounds is not None else None
+            self._add_token(term_text, doc_id, weight=w)
         self._index_prefixes(prepped, doc_id)
 
-    def _add_token(self, term_text: str, doc_id: int) -> None:
+    def _add_token(
+        self, term_text: str, doc_id: int, weight: float | None = None
+    ) -> None:
         st = self.terms.get(term_text)
         if st is None:
             st = _TermState(ordinal=len(self.terms))
@@ -163,13 +224,14 @@ class KernelIndex:
         # Term.FirstCycleAdd
         if st.df < 0:
             return
+        w = self.field_weight if weight is None else weight
         if len(st.weights) < self.stop_term_limit:
             if not st.doc_ids or st.doc_ids[-1] != doc_id:
-                initial = min(float(np.rint(self.field_weight)), 255.0)
+                initial = min(float(np.rint(w)), 255.0)
                 st.weights.append(int(initial))
                 st.doc_ids.append(doc_id)
             else:
-                new_weight = st.weights[-1] + self.field_weight
+                new_weight = st.weights[-1] + w
                 if new_weight <= 255.0:
                     st.weights[-1] = int(np.rint(new_weight))
                     st.df -= 1
