@@ -305,6 +305,7 @@ def build_index(
     strategy: str = "sortmerge",
     synonym_map=None,
     fields: list[tuple[str, int]] | None = None,
+    html_col: str | None = None,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
 
@@ -351,6 +352,14 @@ def build_index(
 
     if "doc_key" not in docs.columns:
         docs = docs.withColumn("doc_key", F.col("doc_id"))
+
+    if html_col is not None:
+        # front of the pipeline: derive the text column from html:binary
+        # (input_hint: byte-identical extracted text per url) — a map-only
+        # Arrow stage, no shuffle
+        from infidex_spark.pipeline.html import html_to_text
+
+        docs = html_to_text(docs, html_col=html_col, text_col="text")
 
     if fields is not None:
         missing_cols = [c for c, _ in fields if c not in docs.columns]
@@ -581,6 +590,7 @@ def build_index(
         "sum_dl": float(sum_dl),
         "field_weight": field_weight,
         "fields": list(fields) if fields is not None else None,
+        "html_col": html_col,
         "tf_cap": cap,
         "stop_term_limit": stop_term_limit,
         "n_stop_terms": int(n_stop),

@@ -456,9 +456,35 @@ def q_fields_weighted_tf(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (input_hint invariant: byte-identical
+    extracted text per url/doc). Wraps documents.text into a page with the
+    same Catalyst expression the oracle replays, runs the vectorized
+    extractor, and emits md5 of the extracted text so the value-hash
+    compares full content."""
+    from infidex_spark.pipeline.html import html_to_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p><script>var x = 1;</script></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = html_to_text(docs, html_col="html", text_col="text")
+    return out.select(
+        "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("text_md5")
+    )
+
+
 QUERIES = {
     "ngram_rerank_engine": q_ngram_rerank_engine,
     "fields_weighted_tf": q_fields_weighted_tf,
+    "html_extract": q_html_extract,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "join_orders_revenue": q_join_orders_revenue,
@@ -528,6 +554,39 @@ ORACLES = {
         GROUP BY o.o_orderpriority
     """,
     "word_df": f"WITH {_WORDS_CTE} SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM words GROUP BY term",
+    "html_extract": """
+        WITH wrapped AS (
+          SELECT doc_id,
+                 '<html><head><title>t</title></head><body><p>' || text ||
+                 '</p><script>var x = 1;</script></body></html>' AS html
+          FROM documents
+        ),
+        stripped AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '<!--.*?-->', ' ', 'gs'),
+                       '<head\\b.*?</head\\s*>', ' ', 'gsi'),
+                     '<script\\b.*?</script\\s*>', ' ', 'gsi'),
+                   '<style\\b.*?</style\\s*>', ' ', 'gsi') AS s
+          FROM wrapped
+        ),
+        detagged AS (
+          SELECT doc_id, regexp_replace(s, '<[^>]*>', ' ', 'gs') AS s FROM stripped
+        ),
+        unescaped AS (
+          SELECT doc_id,
+                 replace(replace(replace(replace(replace(replace(replace(
+                   s, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)),
+                   '&amp;', '&') AS s
+          FROM detagged
+        )
+        SELECT doc_id,
+               md5(trim(regexp_replace(s, '[ \\t\\r\\n\\f\\v]+', ' ', 'g'), ' ')) AS text_md5
+        FROM unescaped
+    """,
     "fields_weighted_tf": """
         WITH fw AS (
           SELECT doc_id, lower(w) AS term, 'h' AS cls

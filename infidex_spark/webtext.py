@@ -94,9 +94,11 @@ def generate_webtext(
             texts, langs = _row_texts(idx, seed)
             urls = [f"https://example{int(i) % 97}.com/page/{int(i)}" for i in idx]
             ts = [_EPOCH + dt.timedelta(seconds=int(i)) for i in idx]
-            html = [
-                f"<html><body><p>{t}</p></body></html>".encode("utf-8") for t in texts
-            ]
+            from infidex_spark.pipeline.html import wrap_html_text
+
+            # rich page shape (head/title/style/script/comment + nested
+            # tags); extraction is byte-identical to `text` (tested)
+            html = [wrap_html_text(t).encode("utf-8") for t in texts]
             yield pd.DataFrame(
                 {
                     "url": urls,
