@@ -148,8 +148,12 @@ class KernelIndex:
         start_pad: int = DEFAULT_START_PAD,
         stop_pad: int = DEFAULT_STOP_PAD,
         synonym_map=None,
+        high_resolution: bool = False,
     ):
         self.synonym_map = synonym_map
+        # A6: query-side joined-text shingle pass (TokenizerSetup.
+        # HighResolutionMode; default off, matching config 400)
+        self.high_resolution = high_resolution
         self.field_weight = float(np.float32(field_weight))
         self.stop_term_limit = stop_term_limit
         self.index_sizes = index_sizes
@@ -396,7 +400,10 @@ class KernelIndex:
         ordered like the reference (sort by term ordinal, unknown-by-text
         first; VectorModel.cs:355-364,432-487)."""
         raw = []
-        for tok in search_tokens(q, self.index_sizes, self.start_pad, self.stop_pad):
+        for tok in search_tokens(
+            q, self.index_sizes, self.start_pad, self.stop_pad,
+            high_resolution=self.high_resolution,
+        ):
             st = self.terms.get(tok)
             if st is not None:
                 raw.append((st.ordinal, None, tok))
@@ -602,6 +609,34 @@ class FullSearch:
                     docs.update(word_docs(word))
         return sorted(docs)
 
+    def _lexical_prescreen(
+        self, q: str, stage1: list[tuple[int, float]]
+    ) -> list[tuple[int, float]]:
+        """E1 — Scoring/LexicalPrescreen.cs:18-87: drop TF-IDF candidates
+        containing NO query word token. Conservative: if any query word is
+        absent from the term dictionary (df == 0 / unknown), or the filter
+        would empty the list, the candidates pass through unchanged (the
+        possible-typo case is left to the fuzzy machinery)."""
+        from infidex_spark.kernel.coverage.state import tokenize_coverage
+
+        tokens, _ = tokenize_coverage(q, self.setup.min_word_size)
+        if not tokens:
+            return stage1
+        union: set[int] = set()
+        for t in tokens:
+            st = self.index.terms.get(t.text)
+            if st is None or st.df == 0:
+                return stage1  # unknown word: skip prescreen (typo case)
+            union.update(st.doc_ids)  # stop terms (df=-1) contribute none
+        if not union:
+            return stage1
+        filtered = [
+            (key, s)
+            for key, s in stage1
+            if self._key_to_id.get(key) in union
+        ]
+        return filtered if filtered else stage1
+
     def search(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:
         """Returns [(doc_key, fusion_score, tiebreaker)] after the full
         rerank; short queries return the stage-1 short path directly."""
@@ -622,6 +657,8 @@ class FullSearch:
 
         depth = self.setup.coverage_depth
         stage1 = idx.search(q, depth)
+        if self.setup.enable_lexical_prescreen and stage1:
+            stage1 = self._lexical_prescreen(q, stage1)
         if not stage1:
             max_tfidf = 1.0
         else:

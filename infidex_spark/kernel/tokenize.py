@@ -106,9 +106,16 @@ def search_tokens(
     sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
     start_pad: int = DEFAULT_START_PAD,
     stop_pad: int = DEFAULT_STOP_PAD,
+    high_resolution: bool = False,
 ) -> list[str]:
     """Query-time token stream: words first, then padded n-grams
-    (Tokenizer.EnumerateShinglesForSearch). No positions at query time."""
+    (Tokenizer.EnumerateShinglesForSearch). No positions at query time.
+
+    high_resolution (A6, Tokenizer.cs:202-266): an additional query-side
+    pass over the JOINED text (all delimiters removed) — its padded
+    shingles, plus the whole joined text as one token when it reaches the
+    minimum size. Lets 'quickfox' match documents indexed as 'quick fox'
+    (the joined shingles bridge the word boundary)."""
     if text is None:
         return []
     out: list[str] = []
@@ -116,6 +123,12 @@ def search_tokens(
     out.extend(w for w, _ in _words_of(text, min_size))
     padded = START_PAD * start_pad + text + STOP_PAD * stop_pad
     out.extend(g for g, _ in _ngrams_of(padded, sizes))
+    if high_resolution:
+        joined = "".join(c for c in text if c not in _DELIM_SET)
+        padded_joined = START_PAD * start_pad + joined + STOP_PAD * stop_pad
+        out.extend(g for g, _ in _ngrams_of(padded_joined, sizes))
+        if len(joined) >= min_size:
+            out.append(joined)
     return out
 
 

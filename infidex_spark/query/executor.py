@@ -567,10 +567,14 @@ class MultiReader:
 
 
 class QueryExecutor:
-    """Stage-1 BM25 retrieval matching the kernel oracle rank-for-rank."""
+    """Stage-1 BM25 retrieval matching the kernel oracle rank-for-rank.
 
-    def __init__(self, reader):
+    high_resolution enables the A6 query-side joined-text shingle pass
+    (default off, matching the reference's config 400)."""
+
+    def __init__(self, reader, high_resolution: bool = False):
         self.r = reader
+        self.high_resolution = high_resolution
 
     def search(
         self, query: str, k: int = 10, use_wand: bool = True
@@ -593,7 +597,10 @@ class QueryExecutor:
             return self._short_query(q, k)
         if long_words and len(long_words) < len(words):
             q = " ".join(long_words)
-        tokens = search_tokens(q, self.r.sizes, self.r.start_pad)
+        tokens = search_tokens(
+            q, self.r.sizes, self.r.start_pad,
+            high_resolution=self.high_resolution,
+        )
         if not tokens:
             return []
         uniq = sorted(set(tokens))

@@ -131,6 +131,38 @@ class RerankExecutor:
                 docs.update(int(d) for d in tp.doc_ids)
         return sorted(docs)
 
+    def _lexical_prescreen(
+        self, q: str, s1: list[tuple[int, float]]
+    ) -> list[tuple[int, float]]:
+        """E1 — executor port of Scoring/LexicalPrescreen.cs:18-87 (see
+        the kernel docstring). Stop terms count as known-but-empty (the
+        reference keeps them as df=-1 tombstones); unknown words skip the
+        prescreen entirely."""
+        from infidex_spark.kernel.coverage.state import tokenize_coverage
+
+        tokens, _ = tokenize_coverage(q, self.setup.min_word_size)
+        if not tokens:
+            return s1
+        words = [t.text for t in tokens]
+        fetched = self.r.fetch_terms(sorted(set(words)))
+        union: set[int] = set()
+        for w in set(words):
+            tp = fetched.get(w)
+            if tp is None:
+                if w in self.r.stop_terms:
+                    continue  # known term, postings tombstoned: adds none
+                return s1  # unknown word: skip prescreen (typo case)
+            union.update(int(d) for d in tp.doc_ids)
+        if not union:
+            return s1
+        ids_by_key = self.r.ids_for_keys([d for d, _ in s1])
+        filtered = [
+            (key, s)
+            for key, s in s1
+            if ids_by_key.get(key, [None])[0] in union
+        ]
+        return filtered if filtered else s1
+
     def search(self, query: str, k: int = 10) -> list[tuple[int, float, int]]:
         q = normalize(query.strip()).lower()
         syn = getattr(self.r, "synonym_map", None)
@@ -147,6 +179,8 @@ class RerankExecutor:
 
         depth = self.setup.coverage_depth
         s1 = self.stage1.search(q, depth)
+        if self.setup.enable_lexical_prescreen and s1:
+            s1 = self._lexical_prescreen(q, s1)
         max_tfidf = s1[0][1] if s1 else 1.0
 
         ctx = self.engine.prepare_query(q)
