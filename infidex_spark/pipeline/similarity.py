@@ -111,10 +111,16 @@ def embedding_near_dups(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH self-join: pairs share
     a bucket (candidate generation), then exact cosine >= threshold.
-    Shuffle = one hash partition by bucket; no global cross join."""
+    Shuffle = one hash partition by bucket; no global cross join.
+
+    max_bucket guards the degenerate-bucket case (zero vectors,
+    constant-fill embeddings hashing equal): buckets larger than the cap
+    are excluded from the self-join instead of going quadratic — at web
+    scale such buckets are boilerplate best handled by exact dedup."""
     # dim from the first row; embeddings must be fixed-width
     first = emb.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = first[0]["d"] if first else 0
@@ -122,6 +128,8 @@ def embedding_near_dups(
     b = emb.select(
         F.col(id_col), F.col(vec_col), lsh_bucket_expr(vec_col, planes).alias("bucket")
     )
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("_bn"))
+    b = b.join(sizes, "bucket").filter(F.col("_bn") <= max_bucket).drop("_bn")
     a1, a2 = b.alias("x"), b.alias("y")
     pairs = a1.join(
         a2,
