@@ -585,6 +585,12 @@ def build_index(
         # ---- LD1 symmetric-delete variants over the live dictionary
         # (needs the final postings, so it runs after the join)
         _build_variants(spark, os.path.join(out_dir, "postings"), out_dir)
+        # ---- sorted term dictionary (B5 / D10): lexicographically ordered
+        # (term, df) — the FST stand-in that supports prefix-range scans
+        # via parquet row-group min/max pruning
+        spark.read.parquet(postings_path).select("term", "df").orderBy(
+            "term"
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_dict"))
         _mark("variants")
 
     if tokens_storage == "memory":

@@ -137,6 +137,57 @@ def levenshtein_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1 :]
 
 
+MAX_FST_TERMS_PER_PREFIX = 4096  # ShortQueryProcessor.cs:17
+
+
+def build_prefix_patterns(
+    search_lower: str, min_index_size: int, start_pad_size: int
+) -> list[str]:
+    """ShortQueryProcessor.BuildPrefixPatterns: sliding pad/query prefixes
+    of the min gram size, plus the word-boundary pattern ' ' + query."""
+    from infidex_spark.kernel.tokenize import START_PAD
+
+    patterns: list[str] = []
+    for i in range(min(min_index_size, start_pad_size + len(search_lower))):
+        pad_count = max(0, start_pad_size - i)
+        query_count = min(len(search_lower), min_index_size - pad_count)
+        if query_count > 0:
+            patterns.append(START_PAD * pad_count + search_lower[:query_count])
+    patterns.append(" " + search_lower)
+    return patterns
+
+
+def short_query_precedence(
+    query_tokens: list[str],
+    words: list[str],
+    search_lower: str,
+    trimmed_title: str,
+    first_token_starts_with_prefix: bool,
+) -> int:
+    """ShortQueryProcessor.ComputePrecedence, ported bit-for-bit."""
+    precedence = 0
+    if len(query_tokens) >= 2:
+        token_matches = sum(1 for qt in query_tokens if qt in words)
+        if token_matches == len(query_tokens):
+            precedence |= 8
+            if len(words) <= len(query_tokens) + 1:
+                precedence |= 2
+        elif token_matches > 0:
+            precedence |= 4
+    else:
+        first_exact = bool(words) and words[0] == search_lower
+        any_exact = first_exact or search_lower in words
+        if any_exact:
+            precedence |= 1
+        if first_token_starts_with_prefix:
+            precedence |= 2
+        if first_exact:
+            precedence |= 4
+        if trimmed_title == search_lower:
+            precedence |= 8
+    return precedence
+
+
 class KernelIndex:
     """In-memory reference index over (doc_key, text) pairs."""
 
@@ -172,6 +223,7 @@ class KernelIndex:
         self.word_idf: dict[str, float] = {}
         self.doc_lengths: np.ndarray | None = None
         self.avgdl: float = 0.0
+        self._sorted_terms: list[str] | None = None  # lazy FST stand-in
 
     # ------------------------------------------------------------------ build
 
@@ -200,6 +252,7 @@ class KernelIndex:
     ) -> None:
         doc_id = len(self.doc_keys)
         self.doc_keys.append(key)
+        self._sorted_terms = None  # dictionary changes: rebuild lazily
         bounds: list[tuple[int, int]] | None = None
         if fields is not None:
             text, bounds = field_boundaries(fields)
@@ -311,7 +364,12 @@ class KernelIndex:
         else:
             can_ngrams = len(q) >= min_size
         if not can_ngrams:
-            return self._short_query(q, k)
+            # SearchPipeline.ExecuteRelevancyStage: 1-char queries resolve
+            # via the positional-prefix champion path; longer non-ngram
+            # queries via the FST-expansion short-query processor (D10)
+            if len(q) == 1:
+                return self._short_query(q, k)
+            return self._search_short_query(q, k)
         if long_words and len(long_words) < len(words):
             q = " ".join(long_words)
         stats = self._query_stats(q)
@@ -376,6 +434,77 @@ class KernelIndex:
             if len(out) == k:
                 break
         return out
+
+    def _search_short_query(self, q: str, k: int) -> list[tuple[int, float]]:
+        """D10 for multi-char non-ngram queries — port of
+        ShortQueryProcessor.SearchShortQuery (ShortQueryProcessor.cs:154):
+        expand the min-size prefix patterns over the sorted term
+        dictionary (<= 4096 terms per pattern, the FST cap), accumulate
+        weight*10 per posting, run the all-dictionary fuzzy fallback when
+        under 100 docs matched, then score precedence bits + normalized
+        weight against each doc's title words.
+
+        Documented delta: the title used for the prefix/precedence checks
+        is the key's representative (lowest-id) document rather than each
+        posting's own segment — identical on unsegmented corpora and
+        shared exactly by the Spark executor."""
+        from bisect import bisect_left
+
+        if self._sorted_terms is None:
+            self._sorted_terms = sorted(self.terms)
+        st_list = self._sorted_terms
+        patterns = build_prefix_patterns(q, self.index_sizes[0], self.start_pad)
+        doc_scores: dict[int, int] = {}
+        rep: dict[int, int] = {}  # key -> representative internal id
+
+        def process_term(st: _TermState, mult: int) -> None:
+            for internal, w in zip(st.doc_ids, st.weights):
+                key = self.doc_keys[internal]
+                prev = rep.get(key)
+                if prev is None or internal < prev:
+                    rep[key] = internal
+                doc_scores[key] = doc_scores.get(key, 0) + w * mult
+
+        hi_ch = chr(0x10FFFF)
+        for pat in patterns:
+            lo = bisect_left(st_list, pat)
+            hi = bisect_left(st_list, pat + hi_ch, lo)
+            for t in st_list[lo:hi][:MAX_FST_TERMS_PER_PREFIX]:
+                process_term(self.terms[t], 10)
+
+        if len(doc_scores) < 100:
+            # fuzzy fallback: whole-dictionary scan for word-boundary /
+            # contains character matches (ProcessFuzzyFallback)
+            for t in st_list:
+                if any(t.startswith(p) for p in patterns):
+                    continue
+                has_wb = False
+                cnt = 0
+                for ch in q:
+                    if (" " + ch) in t:
+                        has_wb = True
+                        cnt += 1
+                    elif ch in t:
+                        cnt += 1
+                if has_wb or cnt > 0:
+                    process_term(self.terms[t], 2 if has_wb else 1)
+
+        if not doc_scores:
+            return []
+        max_score = max(doc_scores.values())
+        qtokens = word_tokens(q, min_size=1)
+        out: list[tuple[int, float]] = []
+        for key, val in doc_scores.items():
+            title = self.doc_texts[rep[key]]
+            words_d = word_tokens(title, min_size=1)
+            prec = short_query_precedence(
+                qtokens, words_d, q, title.strip(), title.startswith(q)
+            )
+            norm = val / max_score if max_score > 0 else val / 255.0
+            out.append((key, float(np.float32(prec + norm))))
+        from infidex_spark.build.segmenter import consolidate
+
+        return consolidate(out, k)
 
     def _short_query(self, q: str, k: int) -> list[tuple[int, float]]:
         """Short-query (1-3 char) resolution over the positional prefix

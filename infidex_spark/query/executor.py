@@ -207,9 +207,12 @@ class IndexReader:
         pp = os.path.join(index_dir, "prefix_postings")
         ch = os.path.join(index_dir, "champions")
         dm = os.path.join(index_dir, "doc_meta")
+        td = os.path.join(index_dir, "term_dict")
         self._prefix_postings = ds.dataset(pp) if os.path.isdir(pp) else None
         self._champions = ds.dataset(ch) if os.path.isdir(ch) else None
         self._doc_meta = ds.dataset(dm) if os.path.isdir(dm) else None
+        self._term_dict = ds.dataset(td) if os.path.isdir(td) else None
+        self._all_terms: list[str] | None = None  # lazy fallback dictionary
         # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
         # memory so the candidate selector only touches disk for the rare
         # prefix whose doc list actually qualifies
@@ -411,6 +414,45 @@ class IndexReader:
             tbl["doc_key"].to_numpy()[order][pos],
         )
 
+    TERM_LIST_CAP = 5_000_000
+
+    def terms_with_prefix(self, pattern: str, limit: int) -> list[str]:
+        """First `limit` dictionary terms with the given prefix, in lex
+        order — an FST GetByPrefix stand-in over the sorted term_dict
+        parquet (range predicate -> row-group min/max pruning)."""
+        if self._term_dict is None:
+            return []
+        hi = pattern + chr(0x10FFFF)
+        tbl = self._term_dict.to_table(
+            columns=["term"],
+            filter=(ds.field("term") >= pattern) & (ds.field("term") < hi),
+        )
+        terms = sorted(tbl["term"].to_pylist())
+        return terms[:limit]
+
+    def sorted_terms(self) -> list[str] | None:
+        """Whole dictionary in lex order (for the short-query fuzzy
+        fallback); None when absent or above the in-memory cap."""
+        if self._term_dict is None:
+            return None
+        if self._all_terms is None:
+            n = self._term_dict.count_rows()
+            if n > self.TERM_LIST_CAP:
+                return None
+            self._all_terms = sorted(
+                self._term_dict.to_table(columns=["term"])["term"].to_pylist()
+            )
+        return self._all_terms
+
+    def doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
+        """Prepped text per internal doc id (point fetch on doc_meta)."""
+        if self._doc_meta is None or not doc_ids:
+            return {}
+        tbl = self._doc_meta.to_table(
+            columns=["doc_id", "text"], filter=ds.field("doc_id").isin(doc_ids)
+        )
+        return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
     def ids_for_keys(self, keys: list[int]) -> dict[int, list[int]]:
         """doc_key -> sorted internal doc_ids (all segments of the doc).
         Bounded by |keys|: served from the in-memory doc_stats cache via a
@@ -594,6 +636,13 @@ class QueryExecutor:
         long_words = [w for w in words if len(w) >= min_size]
         can_ngrams = bool(long_words) if words else len(q) >= min_size
         if not can_ngrams:
+            # 1-char: positional-prefix champion path; longer non-ngram
+            # queries: the FST-expansion short-query processor (D10),
+            # falling back to the resolver when term_dict/doc_meta are
+            # absent (aux=False builds, delta segments)
+            if len(q) > 1 and getattr(self.r, "_term_dict", None) is not None \
+                    and getattr(self.r, "_doc_meta", None) is not None:
+                return self._search_short_query(q, k)
             return self._short_query(q, k)
         if long_words and len(long_words) < len(words):
             q = " ".join(long_words)
@@ -676,6 +725,95 @@ class QueryExecutor:
         return consolidate(hits, k)
 
     # --------------------------------------------------------------- parts
+
+    def _search_short_query(self, q: str, k: int) -> list[tuple[int, float]]:
+        """D10 multi-char non-ngram queries — executor port of
+        ShortQueryProcessor.SearchShortQuery, mirroring the kernel's
+        _search_short_query exactly (same pattern expansion over the
+        sorted term_dict, same 4096-per-pattern cap, same fuzzy fallback
+        and precedence scoring; title checks use the key's representative
+        lowest-id document)."""
+        from infidex_spark.kernel.engine import (
+            MAX_FST_TERMS_PER_PREFIX,
+            build_prefix_patterns,
+            short_query_precedence,
+        )
+
+        r = self.r
+        patterns = build_prefix_patterns(q, r.sizes[0], r.start_pad)
+        expanded: list[tuple[str, int]] = []  # (term, multiplier)
+        for pat in patterns:
+            for t in r.terms_with_prefix(pat, MAX_FST_TERMS_PER_PREFIX):
+                expanded.append((t, 10))
+
+        fetched = r.fetch_terms([t for t, _ in expanded])
+        doc_scores: dict[int, int] = {}
+        rep: dict[int, int] = {}
+
+        def process(term: str, mult: int) -> None:
+            tp = fetched.get(term)
+            if tp is None or tp.df <= 0 or tp.n_docs == 0:
+                return
+            ids = tp.doc_ids
+            ws = tp.tfs.astype(np.int64)
+            _, keys = r.doc_lengths(ids)
+            for internal, w, key in zip(ids.tolist(), ws.tolist(), keys.tolist()):
+                prev = rep.get(key)
+                if prev is None or internal < prev:
+                    rep[key] = internal
+                doc_scores[key] = doc_scores.get(key, 0) + w * mult
+
+        for term, mult in expanded:
+            process(term, mult)
+
+        if len(doc_scores) < 100:
+            all_terms = r.sorted_terms()
+            if all_terms is not None:
+                fuzzy: list[str] = []
+                fuzzy_mult: dict[str, int] = {}
+                for t in all_terms:
+                    if any(t.startswith(p) for p in patterns):
+                        continue
+                    has_wb = False
+                    cnt = 0
+                    for ch in q:
+                        if (" " + ch) in t:
+                            has_wb = True
+                            cnt += 1
+                        elif ch in t:
+                            cnt += 1
+                    if has_wb or cnt > 0:
+                        fuzzy.append(t)
+                        fuzzy_mult[t] = 2 if has_wb else 1
+                fetched.update(r.fetch_terms(fuzzy))
+                for t in fuzzy:
+                    process(t, fuzzy_mult[t])
+
+        if not doc_scores:
+            return []
+        tomb = getattr(r, "tombstones", frozenset())
+        if tomb:
+            for key in list(doc_scores):
+                if key in tomb:
+                    del doc_scores[key]
+                    rep.pop(key, None)
+            if not doc_scores:
+                return []
+        max_score = max(doc_scores.values())
+        texts = r.doc_texts(sorted(set(rep.values())))
+        qtokens = word_tokens(q, min_size=1)
+        out: list[tuple[int, float]] = []
+        for key, val in doc_scores.items():
+            title = texts.get(rep[key], "")
+            words_d = word_tokens(title, min_size=1)
+            prec = short_query_precedence(
+                qtokens, words_d, q, title.strip(), title.startswith(q)
+            )
+            norm = val / max_score if max_score > 0 else val / 255.0
+            out.append((key, float(np.float32(prec + norm))))
+        from infidex_spark.build.segmenter import consolidate
+
+        return consolidate(out, k)
 
     def _short_query(self, q: str, k: int) -> list[tuple[int, float]]:
         """1-3 char queries: positional-prefix resolution (D10) with the
