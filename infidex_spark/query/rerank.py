@@ -114,6 +114,18 @@ class RerankExecutor:
         return entry[1]
 
     def _word_matcher_docs(self, q: str) -> list[int]:
+        """WordMatcher candidate docs (exact ∪ LD1 ∪ affix) for the query
+        words.
+
+        Documented delta vs the reference: its WordMatcher keeps separate
+        word postings with NO df cutoff (WordMatcher.cs Load), so a stop
+        word still yields WM candidates there. Here word postings are the
+        shared term postings, and stop-demoted terms (df >
+        stop_term_limit) have no stored postings at all — a query word
+        that is a stop term contributes no WM candidates. At web scale
+        such words match a large fraction of the corpus and are covered
+        by the stage-1 backbone; the coverage cascade still scores them
+        per candidate."""
         docs: set[int] = set()
         probe_terms: set[str] = set()
         vocab = self._affix_vocab
