@@ -458,10 +458,15 @@ def build_index(
         written = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
         return written.agg(F.sum("dl")).collect()[0][0] or 0.0
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    pool = ThreadPoolExecutor(max_workers=3)
     fut_doc_stats = pool.submit(_doc_stats_job)
     fut_prefixes = (
         pool.submit(_build_prefixes, docs, out_dir, max_prefix_docs, synonym_map)
+        if aux
+        else None
+    )
+    fut_wm_words = (
+        pool.submit(_build_wm_words, docs, out_dir, synonym_map, stop_term_limit)
         if aux
         else None
     )
@@ -579,6 +584,8 @@ def build_index(
     avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
     if fut_prefixes is not None:
         fut_prefixes.result()
+    if fut_wm_words is not None:
+        fut_wm_words.result()
     pool.shutdown()
     _mark("join_doc_stats_prefixes")
     if aux:
@@ -644,6 +651,49 @@ _PREFIX_SCHEMA = T.StructType(
 
 
 _CHAMPION_LIST_SIZE = 64  # ShortQueryResolver.ChampionListSize
+
+
+def _build_wm_words(
+    docs: DataFrame, out_dir: str, synonym_map=None, max_list: int = 1_250_000
+) -> None:
+    """WordMatcher word-level postings (B9, WordMatcher.cs Load): word
+    (len >= 2) -> sorted doc ids, independent of gram stop demotion —
+    len-2 words and stop-demoted words keep their WM postings, exactly as
+    the reference's separate exact/LD1/FST indexes do. Lists are capped at
+    max_list ids (the reference's Term growth cap) and the table is
+    written sorted by word so point fetches prune by row-group min/max."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _DELIM_SPLIT
+
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
+            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+            words = words[words.str.len() >= 2]
+            if not len(words):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            frame = pd.DataFrame(
+                {
+                    "doc_id": ids[words.index.to_numpy(np.int64)],
+                    "word": words.to_numpy(),
+                }
+            ).drop_duplicates()
+            yield frame
+
+    pairs = docs.select("doc_id", "text").mapInPandas(
+        extract, "doc_id long, word string"
+    )
+    lists = pairs.groupBy("word").agg(
+        F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_list).alias("doc_ids"),
+        F.count("*").alias("n_docs"),
+    )
+    lists.orderBy("word").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "wm_words")
+    )
 
 
 def _build_prefixes(

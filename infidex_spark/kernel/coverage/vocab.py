@@ -22,12 +22,15 @@ MAX_AFFIX_TERMS_PER_QUERY = 4096  # reference WordMatcher.cs:41
 
 class AffixVocab:
     def __init__(self, words) -> None:
-        self.sorted = sorted(words)
+        # the affix FST only indexes words len >= MinimumWordSizeLD1 = 3
+        # (WordMatcher.cs Load: IndexWordInFst gate)
+        self.sorted = sorted(w for w in words if len(w) >= 3)
         self.rev_sorted = sorted(w[::-1] for w in self.sorted)
         # symmetric-delete table over 2-8 char words, built lazily: the
         # LD1 candidate range is unchanged from the length-bucket design
         # (callers only probe 3-8 char query words; variants come from
         # the same 2-8 char vocabulary slice)
+        self._words_2_8 = [w for w in words if 2 <= len(w) <= 8]
         self._del1: dict[str, list[str]] | None = None
 
     # ------------------------------------------------------------- affix
@@ -62,9 +65,7 @@ class AffixVocab:
 
     def _build_del1(self) -> dict[str, list[str]]:
         table: dict[str, list[str]] = {}
-        for w in self.sorted:
-            if not (2 <= len(w) <= 8):
-                continue
+        for w in sorted(self._words_2_8):
             table.setdefault(w, []).append(w)
             for i in range(len(w)):
                 table.setdefault(w[:i] + w[i + 1 :], []).append(w)

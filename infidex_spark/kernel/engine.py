@@ -220,6 +220,9 @@ class KernelIndex:
         self.doc_meta: list[tuple[int, str | None]] = []
         self.doc_texts: list[str] = []  # prepped text (coverage stage input)
         self.word_df: dict[str, int] = {}  # word-level df (B4)
+        # WordMatcher word postings (B9): word (len >= 2) -> internal doc
+        # ids, independent of gram stop demotion (WordMatcher.cs Load)
+        self.wm_word_postings: dict[str, list[int]] = {}
         self.word_idf: dict[str, float] = {}
         self.doc_lengths: np.ndarray | None = None
         self.avgdl: float = 0.0
@@ -322,6 +325,11 @@ class KernelIndex:
         self.doc_texts.append(prepped)
         for w in set(toks):
             self.word_df[w] = self.word_df.get(w, 0) + 1
+            # WordMatcher word-level postings (WordMatcher.cs Load): words
+            # len >= 2, NO stop demotion (its indexes are independent of
+            # the gram dictionary's df limits)
+            if len(w) >= 2:
+                self.wm_word_postings.setdefault(w, []).append(doc_id)
 
     def _build_doc_lengths(self) -> None:
         n = len(self.doc_keys)
@@ -705,19 +713,16 @@ class FullSearch:
         self._affix_vocab = None  # built lazily from word_df
 
     def _word_matcher_docs(self, q: str) -> list[int]:
-        """WordMatcherLookup approximation: per query word (len 2-8),
-        union of exact word postings and LD1-variant postings (words only
-        exist as index terms at len >= min gram size)."""
+        """WordMatcher lookup (B9/B10/B11, WordMatcher.cs): per query word
+        (len 2-8) union of exact word postings, LD1-variant postings
+        (variants len 2-8), and affix-matched word postings (FST words are
+        len >= 3, shared 4096-term budget per query word). Word postings
+        are the dedicated word-level index — independent of gram stop
+        demotion, so len-2 words and stop-demoted words still match."""
         from infidex_spark.kernel.tokenize import word_tokens
 
         docs: set[int] = set()
-
-        # WORD vocabulary lookups (word_df, not gram terms); postings for
-        # a word come from its term entry (words >= min gram size are
-        # index terms; shorter word matches have no postings to add)
-        def word_docs(word: str) -> list[int]:
-            ts = self.index.terms.get(word)
-            return ts.doc_ids if (ts is not None and ts.df > 0) else []
+        wm = self.index.wm_word_postings
 
         if self._affix_vocab is None:
             from infidex_spark.kernel.coverage.vocab import AffixVocab
@@ -726,16 +731,16 @@ class FullSearch:
         vocab = self._affix_vocab
         for w in set(word_tokens(q, min_size=2)):
             if len(w) <= 8:
-                docs.update(word_docs(w))
+                docs.update(wm.get(w, ()))
                 if len(w) >= 3:
                     for word in vocab.ld1(w):
-                        docs.update(word_docs(word))
+                        docs.update(wm.get(word, ()))
             # affix lookup (SupportAffix): indexed words extending the
             # query word as prefix, or ending with it — bounded by the
             # reference's shared 4096-term budget (WordMatcher.cs:41)
             if self.setup.cover_prefix_suffix:
                 for word in vocab.affix_terms(w):
-                    docs.update(word_docs(word))
+                    docs.update(wm.get(word, ()))
         return sorted(docs)
 
     def _lexical_prescreen(
@@ -782,7 +787,9 @@ class FullSearch:
         long_words = [w for w in words if len(w) >= min_size]
         can_ngrams = bool(long_words) if words else len(q) >= min_size
         if not can_ngrams:
-            return [(d, s, 0) for d, s in idx._short_query(q, k)]
+            # same routing as stage-1: 1-char champion path, multi-char
+            # FST-expansion short-query processor
+            return [(d, s, 0) for d, s in idx.search(q, k)]
 
         depth = self.setup.coverage_depth
         stage1 = idx.search(q, depth)

@@ -208,10 +208,12 @@ class IndexReader:
         ch = os.path.join(index_dir, "champions")
         dm = os.path.join(index_dir, "doc_meta")
         td = os.path.join(index_dir, "term_dict")
+        wm = os.path.join(index_dir, "wm_words")
         self._prefix_postings = ds.dataset(pp) if os.path.isdir(pp) else None
         self._champions = ds.dataset(ch) if os.path.isdir(ch) else None
         self._doc_meta = ds.dataset(dm) if os.path.isdir(dm) else None
         self._term_dict = ds.dataset(td) if os.path.isdir(td) else None
+        self._wm_words = ds.dataset(wm) if os.path.isdir(wm) else None
         self._all_terms: list[str] | None = None  # lazy fallback dictionary
         # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
         # memory so the candidate selector only touches disk for the rare
@@ -443,6 +445,22 @@ class IndexReader:
                 self._term_dict.to_table(columns=["term"])["term"].to_pylist()
             )
         return self._all_terms
+
+    def wm_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
+        """WordMatcher word-level postings (B9): word -> sorted internal
+        doc ids, independent of gram stop demotion. Point fetch on the
+        word-sorted wm_words table (row-group min/max pruning)."""
+        if self._wm_words is None or not words:
+            return {}
+        tbl = self._wm_words.to_table(
+            columns=["word", "doc_ids"], filter=ds.field("word").isin(words)
+        )
+        out = {}
+        for i in range(tbl.num_rows):
+            out[tbl["word"][i].as_py()] = np.asarray(
+                tbl["doc_ids"][i].as_py(), dtype=np.int64
+            )
+        return out
 
     def doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
         """Prepped text per internal doc id (point fetch on doc_meta)."""

@@ -115,17 +115,12 @@ class RerankExecutor:
 
     def _word_matcher_docs(self, q: str) -> list[int]:
         """WordMatcher candidate docs (exact ∪ LD1 ∪ affix) for the query
-        words.
-
-        Documented delta vs the reference: its WordMatcher keeps separate
-        word postings with NO df cutoff (WordMatcher.cs Load), so a stop
-        word still yields WM candidates there. Here word postings are the
-        shared term postings, and stop-demoted terms (df >
-        stop_term_limit) have no stored postings at all — a query word
-        that is a stop term contributes no WM candidates. At web scale
-        such words match a large fraction of the corpus and are covered
-        by the stage-1 backbone; the coverage cascade still scores them
-        per candidate."""
+        words, served from the dedicated wm_words word-postings table
+        (len >= 2 words, NO df cutoff — WordMatcher.cs keeps its indexes
+        independent of gram stop demotion, so len-2 words and stop words
+        still match). Legacy indexes without the table fall back to term
+        postings, where stop-demoted words contribute no candidates
+        (documented delta)."""
         docs: set[int] = set()
         probe_terms: set[str] = set()
         vocab = self._affix_vocab
@@ -137,6 +132,15 @@ class RerankExecutor:
             if self.setup.cover_prefix_suffix and vocab is not None:
                 # shared 4096-term budget per query word (WordMatcher.cs:41)
                 probe_terms.update(vocab.affix_terms(w))
+        wm = getattr(self.r, "wm_word_docs", None)
+        if wm is not None and getattr(self.r, "_wm_words", None) is not None:
+            # dedicated word-level postings: no df cutoff (reference
+            # WordMatcher semantics — stop words and len-2 words match)
+            for ids in wm(sorted(probe_terms)).values():
+                docs.update(int(d) for d in ids)
+            return sorted(docs)
+        # legacy indexes without wm_words: words >= min gram size are
+        # index terms; stop-demoted terms have no stored postings
         fetched = self.r.fetch_terms(sorted(probe_terms))
         for tp in fetched.values():
             if 0 < tp.df <= self.r.stop_term_limit:
