@@ -589,15 +589,23 @@ def build_index(
     pool.shutdown()
     _mark("join_doc_stats_prefixes")
     if aux:
-        # ---- LD1 symmetric-delete variants over the live dictionary
-        # (needs the final postings, so it runs after the join)
-        _build_variants(spark, os.path.join(out_dir, "postings"), out_dir)
-        # ---- sorted term dictionary (B5 / D10): lexicographically ordered
-        # (term, df) — the FST stand-in that supports prefix-range scans
-        # via parquet row-group min/max pruning
-        spark.read.parquet(postings_path).select("term", "df").orderBy(
-            "term"
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, "term_dict"))
+        # ---- LD1 symmetric-delete variants + sorted term dictionary
+        # (B5/D10: lexicographic (term, df) parquet, the FST stand-in for
+        # prefix-range scans). Both read the final postings, independent
+        # of each other -> concurrent Spark jobs.
+        with ThreadPoolExecutor(max_workers=2) as aux_pool:
+            f_var = aux_pool.submit(
+                _build_variants, spark, os.path.join(out_dir, "postings"), out_dir
+            )
+            f_td = aux_pool.submit(
+                lambda: spark.read.parquet(postings_path)
+                .select("term", "df")
+                .orderBy("term")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "term_dict"))
+            )
+            f_var.result()
+            f_td.result()
         _mark("variants")
 
     if tokens_storage == "memory":
@@ -687,12 +695,69 @@ def _build_wm_words(
     pairs = docs.select("doc_id", "text").mapInPandas(
         extract, "doc_id long, word string"
     )
-    lists = pairs.groupBy("word").agg(
-        F.slice(F.array_sort(F.collect_set("doc_id")), 1, max_list).alias("doc_ids"),
-        F.count("*").alias("n_docs"),
+    # same physical shape as the postings build: one shuffle on the word
+    # bucket, a spillable sort, and a streaming group collector — no
+    # collect_set/array_sort agg buffers (hot words would make those the
+    # dominant build cost)
+    n_buckets = 32
+    bucketed = pairs.withColumn(
+        "bucket", F.pmod(F.crc32(F.encode("word", "utf-8")), F.lit(n_buckets)).cast("int")
     )
-    lists.orderBy("word").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "wm_words")
+
+    def collect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend_word: str | None = None
+        pend_bucket = 0
+        pend_ids: list[np.ndarray] = []
+
+        def emit(words, buckets, id_lists) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "word": words,
+                    "doc_ids": [ids[:max_list].tolist() for ids in id_lists],
+                    "n_docs": np.fromiter(
+                        (min(len(i), max_list) for i in id_lists),
+                        dtype=np.int64, count=len(id_lists),
+                    ),
+                    "bucket": np.asarray(buckets, dtype=np.int32),
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            words = pdf["word"].to_numpy()
+            ids = pdf["doc_id"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            change = np.empty(len(words), dtype=bool)
+            change[0] = True
+            change[1:] = words[1:] != words[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(words))
+            out_w, out_b, out_ids = [], [], []
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                w = words[s]
+                if pend_word is not None and w == pend_word:
+                    pend_ids.append(ids[s:e])
+                    continue
+                if pend_word is not None:
+                    out_w.append(pend_word)
+                    out_b.append(pend_bucket)
+                    out_ids.append(np.concatenate(pend_ids))
+                pend_word, pend_bucket, pend_ids = w, int(buckets[s]), [ids[s:e]]
+            if out_w:
+                yield emit(out_w, out_b, out_ids)
+        if pend_word is not None:
+            yield emit([pend_word], [pend_bucket], [np.concatenate(pend_ids)])
+
+    (
+        bucketed.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("word", "doc_id")
+        .mapInPandas(
+            collect, "word string, doc_ids array<long>, n_docs long, bucket int"
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "wm_words"))
     )
 
 
@@ -806,6 +871,13 @@ def _build_prefixes(
             words = texts.str.split(_DELIM_SPLIT, regex=True)
             n_tokens = words.map(lambda ws: sum(1 for w in ws if w))
             stripped = texts.str.strip()
+            # space-joined word stream with sentinel spaces: turns the
+            # short-query word-boundary checks into plain substring
+            # searches (' q ' in words_text == q in word_tokens(text))
+            words_text = words.map(
+                lambda ws: " " + " ".join(w for w in ws if w) + " "
+                if any(ws) else " "
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -814,10 +886,11 @@ def _build_prefixes(
                     # prepped text retained for the coverage rerank (the
                     # reference likewise keeps IndexedText in memory)
                     "text": texts,
+                    "words_text": words_text,
                 }
             )
 
-    meta_schema = "doc_id long, n_tokens long, tiny_text string, text string"
+    meta_schema = "doc_id long, n_tokens long, tiny_text string, text string, words_text string"
     doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
     doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
     doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))

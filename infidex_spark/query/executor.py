@@ -37,6 +37,80 @@ def term_bucket(term: str, n_buckets: int) -> int:
 _TERM_MISS = object()  # negative-cache marker in IndexReader._term_cache
 
 
+def _short_query_precedence_wtext(titles, wtexts, q: str) -> np.ndarray:
+    """Vectorized ComputePrecedence using the precomputed words_text
+    column (' w1 w2 ' with sentinel spaces): every word-boundary check is
+    a plain substring search — no regex over titles. Bit-for-bit equal to
+    the kernel's scalar short_query_precedence (parity-tested)."""
+    from infidex_spark.kernel.tokenize import DELIMITERS, word_tokens
+
+    qtokens = word_tokens(q, min_size=1)
+    n = len(titles)
+    if len(qtokens) >= 2:
+        present = np.zeros((n, len(qtokens)), dtype=bool)
+        for j, qt in enumerate(qtokens):
+            present[:, j] = wtexts.str.contains(f" {qt} ", regex=False).to_numpy()
+        n_match = present.sum(axis=1)
+        all_present = n_match == len(qtokens)
+        # n_words = spaces - 1 (sentinel-wrapped join; ' ' -> 0 words)
+        n_words = wtexts.str.count(" ").to_numpy() - 1
+        return np.where(
+            all_present,
+            8 | np.where(n_words <= len(qtokens) + 1, 2, 0),
+            np.where(n_match > 0, 4, 0),
+        ).astype(np.int64)
+    prec = np.zeros(n, dtype=np.int64)
+    if not any(c in DELIMITERS for c in q):
+        first_exact = wtexts.str.startswith(f" {q} ").to_numpy()
+        any_exact = first_exact | wtexts.str.contains(
+            f" {q} ", regex=False
+        ).to_numpy()
+        prec += any_exact * 1 + first_exact * 4
+    prec += titles.str.startswith(q).to_numpy() * 2
+    prec += (titles.str.strip() == q).to_numpy() * 8
+    return prec
+
+
+def _short_query_precedence_vector(titles, q: str) -> np.ndarray:
+    """Vectorized ShortQueryProcessor.ComputePrecedence over a pandas
+    Series of titles — identical bit-for-bit to the kernel's scalar
+    short_query_precedence (parity-tested); regex word boundaries are the
+    tokenizer's delimiter class, so 'word' means a maximal non-delimiter
+    run exactly as word_tokens produces."""
+    import re as _re
+
+    from infidex_spark.kernel.tokenize import DELIMITERS, word_tokens
+
+    D = _re.escape(DELIMITERS)
+    qtokens = word_tokens(q, min_size=1)
+    n = len(titles)
+    if len(qtokens) >= 2:
+        present = np.zeros((n, len(qtokens)), dtype=bool)
+        for j, qt in enumerate(qtokens):
+            pat = f"(?:^|[{D}]){_re.escape(qt)}(?:[{D}]|$)"
+            present[:, j] = titles.str.contains(pat, regex=True).to_numpy()
+        n_match = present.sum(axis=1)
+        all_present = n_match == len(qtokens)
+        n_words = titles.str.count(f"[^{D}]+").to_numpy()
+        return np.where(
+            all_present,
+            8 | np.where(n_words <= len(qtokens) + 1, 2, 0),
+            np.where(n_match > 0, 4, 0),
+        ).astype(np.int64)
+    prec = np.zeros(n, dtype=np.int64)
+    q_is_word = not any(c in DELIMITERS for c in q)
+    if q_is_word:
+        qe = _re.escape(q)
+        first_exact = titles.str.match(f"^[{D}]*{qe}(?:[{D}]|$)").to_numpy()
+        any_exact = first_exact | titles.str.contains(
+            f"(?:^|[{D}]){qe}(?:[{D}]|$)", regex=True
+        ).to_numpy()
+        prec += any_exact * 1 + first_exact * 4
+    prec += titles.str.startswith(q).to_numpy() * 2
+    prec += (titles.str.strip() == q).to_numpy() * 8
+    return prec
+
+
 class TermPostings:
     """One term's postings with LAZY decode.
 
@@ -213,7 +287,10 @@ class IndexReader:
         self._champions = ds.dataset(ch) if os.path.isdir(ch) else None
         self._doc_meta = ds.dataset(dm) if os.path.isdir(dm) else None
         self._term_dict = ds.dataset(td) if os.path.isdir(td) else None
-        self._wm_words = ds.dataset(wm) if os.path.isdir(wm) else None
+        self._wm_buckets = 32  # matches _build_wm_words
+        self._wm_words = (
+            ds.dataset(wm, partitioning="hive") if os.path.isdir(wm) else None
+        )
         self._all_terms: list[str] | None = None  # lazy fallback dictionary
         # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
         # memory so the candidate selector only touches disk for the rare
@@ -452,8 +529,10 @@ class IndexReader:
         word-sorted wm_words table (row-group min/max pruning)."""
         if self._wm_words is None or not words:
             return {}
+        buckets = sorted({term_bucket(w, self._wm_buckets) for w in words})
         tbl = self._wm_words.to_table(
-            columns=["word", "doc_ids"], filter=ds.field("word").isin(words)
+            columns=["word", "doc_ids"],
+            filter=ds.field("bucket").isin(buckets) & ds.field("word").isin(words),
         )
         out = {}
         for i in range(tbl.num_rows):
@@ -470,6 +549,28 @@ class IndexReader:
             columns=["doc_id", "text"], filter=ds.field("doc_id").isin(doc_ids)
         )
         return dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+
+    def doc_title_rows(
+        self, doc_ids: list[int]
+    ) -> tuple[dict[int, str], dict[int, str] | None]:
+        """(text, words_text) per internal doc id. words_text is the
+        space-joined word stream with sentinel spaces (None when the index
+        predates the column)."""
+        if self._doc_meta is None or not doc_ids:
+            return {}, None
+        cols = ["doc_id", "text"]
+        has_words = "words_text" in self._doc_meta.schema.names
+        if has_words:
+            cols.append("words_text")
+        tbl = self._doc_meta.to_table(
+            columns=cols, filter=ds.field("doc_id").isin(doc_ids)
+        )
+        ids = tbl["doc_id"].to_pylist()
+        texts = dict(zip(ids, tbl["text"].to_pylist()))
+        wtexts = (
+            dict(zip(ids, tbl["words_text"].to_pylist())) if has_words else None
+        )
+        return texts, wtexts
 
     def ids_for_keys(self, keys: list[int]) -> dict[int, list[int]]:
         """doc_key -> sorted internal doc_ids (all segments of the doc).
@@ -635,6 +736,11 @@ class QueryExecutor:
     def __init__(self, reader, high_resolution: bool = False):
         self.r = reader
         self.high_resolution = high_resolution
+        # short-query result cache: the non-ngram query space is tiny
+        # (1-3 char strings / all-short-word combos) and results are a
+        # pure function of the immutable reader state — the reference
+        # precomputes champion lists for the same reason
+        self._short_cache: dict[tuple[str, int], list] = {}
 
     def search(
         self, query: str, k: int = 10, use_wand: bool = True
@@ -658,10 +764,18 @@ class QueryExecutor:
             # queries: the FST-expansion short-query processor (D10),
             # falling back to the resolver when term_dict/doc_meta are
             # absent (aux=False builds, delta segments)
-            if len(q) > 1 and getattr(self.r, "_term_dict", None) is not None \
-                    and getattr(self.r, "_doc_meta", None) is not None:
-                return self._search_short_query(q, k)
-            return self._short_query(q, k)
+            ck = (q, k)
+            got = self._short_cache.get(ck)
+            if got is None:
+                if len(q) > 1 and getattr(self.r, "_term_dict", None) is not None \
+                        and getattr(self.r, "_doc_meta", None) is not None:
+                    got = self._search_short_query(q, k)
+                else:
+                    got = self._short_query(q, k)
+                if len(self._short_cache) >= 10_000:
+                    self._short_cache.clear()
+                self._short_cache[ck] = got
+            return list(got)
         if long_words and len(long_words) < len(words):
             q = " ".join(long_words)
         tokens = search_tokens(
@@ -754,8 +868,9 @@ class QueryExecutor:
         from infidex_spark.kernel.engine import (
             MAX_FST_TERMS_PER_PREFIX,
             build_prefix_patterns,
-            short_query_precedence,
         )
+
+        import pandas as pd
 
         r = self.r
         patterns = build_prefix_patterns(q, r.sizes[0], r.start_pad)
@@ -765,30 +880,28 @@ class QueryExecutor:
                 expanded.append((t, 10))
 
         fetched = r.fetch_terms([t for t, _ in expanded])
-        doc_scores: dict[int, int] = {}
-        rep: dict[int, int] = {}
 
-        def process(term: str, mult: int) -> None:
-            tp = fetched.get(term)
-            if tp is None or tp.df <= 0 or tp.n_docs == 0:
-                return
-            ids = tp.doc_ids
-            ws = tp.tfs.astype(np.int64)
-            _, keys = r.doc_lengths(ids)
-            for internal, w, key in zip(ids.tolist(), ws.tolist(), keys.tolist()):
-                prev = rep.get(key)
-                if prev is None or internal < prev:
-                    rep[key] = internal
-                doc_scores[key] = doc_scores.get(key, 0) + w * mult
+        def gather(pairs):
+            ids_l, keys_l, w_l = [], [], []
+            for term, mult in pairs:
+                tp = fetched.get(term)
+                if tp is None or tp.df <= 0 or tp.n_docs == 0:
+                    continue
+                ids = tp.doc_ids
+                _, keys = r.doc_lengths(ids)
+                ids_l.append(ids)
+                keys_l.append(keys)
+                w_l.append(tp.tfs.astype(np.float64) * mult)
+            return ids_l, keys_l, w_l
 
-        for term, mult in expanded:
-            process(term, mult)
-
-        if len(doc_scores) < 100:
+        ids_l, keys_l, w_l = gather(expanded)
+        n_matched = (
+            np.unique(np.concatenate(keys_l)).size if keys_l else 0
+        )
+        if n_matched < 100:
             all_terms = r.sorted_terms()
             if all_terms is not None:
-                fuzzy: list[str] = []
-                fuzzy_mult: dict[str, int] = {}
+                fuzzy: list[tuple[str, int]] = []
                 for t in all_terms:
                     if any(t.startswith(p) for p in patterns):
                         continue
@@ -801,37 +914,43 @@ class QueryExecutor:
                         elif ch in t:
                             cnt += 1
                     if has_wb or cnt > 0:
-                        fuzzy.append(t)
-                        fuzzy_mult[t] = 2 if has_wb else 1
-                fetched.update(r.fetch_terms(fuzzy))
-                for t in fuzzy:
-                    process(t, fuzzy_mult[t])
+                        fuzzy.append((t, 2 if has_wb else 1))
+                fetched.update(r.fetch_terms([t for t, _ in fuzzy]))
+                i2, k2, w2 = gather(fuzzy)
+                ids_l += i2
+                keys_l += k2
+                w_l += w2
 
-        if not doc_scores:
+        if not keys_l:
             return []
+        ids_cat = np.concatenate(ids_l)
+        keys_cat = np.concatenate(keys_l)
+        w_cat = np.concatenate(w_l)
+        uk, inv = np.unique(keys_cat, return_inverse=True)
+        # int-valued weight sums (exact: ints < 2^53 in float64)
+        scores = np.bincount(inv, weights=w_cat)
+        rep = np.full(uk.size, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(rep, inv, ids_cat)
+
         tomb = getattr(r, "tombstones", frozenset())
         if tomb:
-            for key in list(doc_scores):
-                if key in tomb:
-                    del doc_scores[key]
-                    rep.pop(key, None)
-            if not doc_scores:
+            live = ~np.isin(uk, np.fromiter(tomb, dtype=np.int64, count=len(tomb)))
+            uk, scores, rep = uk[live], scores[live], rep[live]
+            if uk.size == 0:
                 return []
-        max_score = max(doc_scores.values())
-        texts = r.doc_texts(sorted(set(rep.values())))
-        qtokens = word_tokens(q, min_size=1)
-        out: list[tuple[int, float]] = []
-        for key, val in doc_scores.items():
-            title = texts.get(rep[key], "")
-            words_d = word_tokens(title, min_size=1)
-            prec = short_query_precedence(
-                qtokens, words_d, q, title.strip(), title.startswith(q)
-            )
-            norm = val / max_score if max_score > 0 else val / 255.0
-            out.append((key, float(np.float32(prec + norm))))
-        from infidex_spark.build.segmenter import consolidate
-
-        return consolidate(out, k)
+        max_score = float(scores.max())
+        texts_map, wtexts_map = r.doc_title_rows(sorted(set(rep.tolist())))
+        rep_list = rep.tolist()
+        titles = pd.Series([texts_map.get(int(i), "") for i in rep_list])
+        if wtexts_map is not None:
+            wtexts = pd.Series([wtexts_map.get(int(i), " ") for i in rep_list])
+            prec = _short_query_precedence_wtext(titles, wtexts, q)
+        else:  # legacy index without words_text: regex word boundaries
+            prec = _short_query_precedence_vector(titles, q)
+        norm = scores / max_score if max_score > 0 else scores / 255.0
+        finals = (prec + norm).astype(np.float32)
+        order = np.lexsort((uk, -finals))[:k]
+        return [(int(uk[i]), float(finals[i])) for i in order]
 
     def _short_query(self, q: str, k: int) -> list[tuple[int, float]]:
         """1-3 char queries: positional-prefix resolution (D10) with the
