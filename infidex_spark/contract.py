@@ -481,10 +481,75 @@ def q_html_extract(spark, sf_dir):
     )
 
 
+def q_normalize_text(spark, sf_dir):
+    """A1 byte-identity oracle: normalize (verbatim fold table + \\t\\n\\r
+    -> space + space-run collapse) then lowercase, hashed — DuckDB replays
+    the identical transform with translate() generated from the SAME
+    _FOLD_PAIRS constant (single source of truth)."""
+    import pandas as pd
+
+    from infidex_spark.kernel.normalize import normalize_series
+
+    def run(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "norm": normalize_series(pdf["text"].fillna("")).str.lower(),
+                }
+            )
+            yield out
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    normed = docs.mapInPandas(run, "doc_id long, norm string")
+    return normed.select(
+        "doc_id", F.md5(F.encode(F.col("norm"), "utf-8")).alias("norm_md5")
+    )
+
+
+def _normalize_sql(expr: str) -> str:
+    """DuckDB expression replaying kernel.normalize + lower over expr,
+    generated from the kernel's fold table."""
+    from infidex_spark.kernel.normalize import _FOLD_PAIRS
+
+    src = "".join(k for k, _ in _FOLD_PAIRS) + "\t\n\r"
+    dst = "".join(v for _, v in _FOLD_PAIRS) + "   "
+    src_sql = src.replace("'", "''")
+    return (
+        f"lower(regexp_replace(translate({expr}, '{src_sql}', '{dst}'),"
+        " '  +', ' ', 'g'))"
+    )
+
+
+def q_wm_word_docs(spark, sf_dir):
+    """Index-content oracle for the WordMatcher word postings (B9): the
+    wm_words table's (word, n_docs) for probe words must equal the
+    distinct-document word counts DuckDB computes over the identically
+    normalized, delimiter-split text."""
+    import os
+
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader
+
+    idx_dir = os.path.join(WORK_DIR, f"contract_idx_{os.path.basename(sf_dir)}")
+    docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
+    if not os.path.exists(os.path.join(idx_dir, "MANIFEST.json")):
+        build_index(spark, docs, idx_dir, n_buckets=8)
+    reader = IndexReader(idx_dir)
+    got = reader.wm_word_docs(WM_PROBE_WORDS)
+    rows = [(w, int(ids.size)) for w, ids in sorted(got.items())]
+    return spark.createDataFrame(rows, "word string, n_docs long")
+
+
+WM_PROBE_WORDS = ["spark", "query", "join", "the", "of", "window"]
+
+
 QUERIES = {
     "ngram_rerank_engine": q_ngram_rerank_engine,
     "fields_weighted_tf": q_fields_weighted_tf,
     "html_extract": q_html_extract,
+    "normalize_text": q_normalize_text,
+    "wm_word_docs": q_wm_word_docs,
     "events_window_agg": q_events_window_agg,
     "events_sessionize": q_events_sessionize,
     "join_orders_revenue": q_join_orders_revenue,
@@ -526,7 +591,34 @@ _ES = "['el','la','de','que','y','en','un','es','se','no']"
 _DE = "['der','die','und','das','ist','von','mit','den','ein','zu']"
 _FR = "['le','la','les','de','et','un','est','que','pour','dans']"
 
+def _delim_class_sql() -> str:
+    """RE2 character class of the tokenizer delimiters, SQL-quoted."""
+    from infidex_spark.kernel.tokenize import DELIMITERS
+
+    cls = "".join("\\" + c if c in "\\^]-" else c for c in DELIMITERS)
+    cls = cls.replace("\t", "\\t").replace("'", "''")
+    return "[" + cls + "]"
+
+
 ORACLES = {
+    "normalize_text": f"""
+        SELECT doc_id, md5({_normalize_sql('text')}) AS norm_md5
+        FROM documents
+    """,
+    "wm_word_docs": f"""
+        WITH norm AS (
+          SELECT doc_id, {_normalize_sql('text')} AS t FROM documents
+        ),
+        w AS (
+          SELECT DISTINCT doc_id, s.w AS w
+          FROM norm, unnest(regexp_split_to_array(t, '{{DELIMS}}+')) AS s(w)
+          WHERE length(s.w) >= 2
+        )
+        SELECT w AS word, count(*)::BIGINT AS n_docs
+        FROM w
+        WHERE w IN ('spark','query','join','the','of','window')
+        GROUP BY w
+    """.replace("{DELIMS}", _delim_class_sql()),
     "events_window_agg": """
         SELECT epoch(time_bucket(INTERVAL 1 HOUR, ts))::BIGINT AS window_start,
                event_type,
