@@ -34,6 +34,7 @@ from infidex_spark.kernel.tokenize import (
     DEFAULT_INDEX_SIZES,
     DEFAULT_START_PAD,
     DEFAULT_STOP_PAD,
+    DELIMITERS as _QUERY_DELIMS,
     index_tokens,
     search_tokens,
     word_tokens,
@@ -138,6 +139,8 @@ def levenshtein_le1(a: str, b: str) -> bool:
 
 
 MAX_FST_TERMS_PER_PREFIX = 4096  # ShortQueryProcessor.cs:17
+SHORT_QUERY_MAX_LENGTH = 3  # SearchPipeline.cs:23
+SHORT_QUERY_COVERAGE_DOC_CAP = 500  # SearchPipeline.cs:24
 
 
 def build_prefix_patterns(
@@ -786,13 +789,25 @@ class FullSearch:
         words = _wt(q, min_size=1)
         long_words = [w for w in words if len(w) >= min_size]
         can_ngrams = bool(long_words) if words else len(q) >= min_size
+        depth = self.setup.coverage_depth
         if not can_ngrams:
             # same routing as stage-1: 1-char champion path, multi-char
             # FST-expansion short-query processor
-            return [(d, s, 0) for d, s in idx.search(q, k)]
-
-        depth = self.setup.coverage_depth
-        stage1 = idx.search(q, depth)
+            s1 = idx.search(q, k)
+            # SearchPipeline.cs:110-160: a short query (<= 3 chars, no
+            # delimiters) runs the coverage stage ONLY when stage-1 found
+            # fewer than maxResults AND the prefix matches 1..500 docs
+            is_short = len(q) <= SHORT_QUERY_MAX_LENGTH and not any(
+                c in _QUERY_DELIMS for c in q
+            )
+            if not is_short or len(s1) >= k:
+                return [(d, s, 0) for d, s in s1[:k]]
+            count = len(idx.prefix_index.get(q, ()))
+            if count == 0 or count > SHORT_QUERY_COVERAGE_DOC_CAP:
+                return [(d, s, 0) for d, s in s1[:k]]
+            stage1 = s1
+        else:
+            stage1 = idx.search(q, depth)
         if self.setup.enable_lexical_prescreen and stage1:
             stage1 = self._lexical_prescreen(q, stage1)
         if not stage1:

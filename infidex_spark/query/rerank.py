@@ -190,11 +190,28 @@ class RerankExecutor:
         words = word_tokens(q, min_size=1)
         long_words = [w for w in words if len(w) >= min_size]
         can_ngrams = bool(long_words) if words else len(q) >= min_size
-        if not can_ngrams:
-            return [(d, s, 0) for d, s in self.stage1.search(q, k)]
-
         depth = self.setup.coverage_depth
-        s1 = self.stage1.search(q, depth)
+        if not can_ngrams:
+            s1 = self.stage1.search(q, k)
+            # SearchPipeline.cs:110-160: coverage runs for a short query
+            # (<= 3 chars, no delimiters) only when stage-1 found fewer
+            # than maxResults AND the prefix matches 1..500 docs
+            from infidex_spark.kernel.engine import (
+                SHORT_QUERY_COVERAGE_DOC_CAP,
+                SHORT_QUERY_MAX_LENGTH,
+                _QUERY_DELIMS,
+            )
+
+            is_short = len(q) <= SHORT_QUERY_MAX_LENGTH and not any(
+                c in _QUERY_DELIMS for c in q
+            )
+            if not is_short or len(s1) >= k:
+                return [(d, s, 0) for d, s in s1[:k]]
+            count = self.r.prefix_count(q) if hasattr(self.r, "prefix_count") else 0
+            if count == 0 or count > SHORT_QUERY_COVERAGE_DOC_CAP:
+                return [(d, s, 0) for d, s in s1[:k]]
+        else:
+            s1 = self.stage1.search(q, depth)
         if self.setup.enable_lexical_prescreen and s1:
             s1 = self._lexical_prescreen(q, s1)
         max_tfidf = s1[0][1] if s1 else 1.0
