@@ -523,6 +523,18 @@ class IndexReader:
             )
         return self._all_terms
 
+    def word_df_map(self, cap: int) -> dict[str, int] | None:
+        """Word-level document frequencies (B4) as a dict, or None when
+        the words table is absent or exceeds cap rows."""
+        path = os.path.join(self.index_dir, "words")
+        if not os.path.isdir(path):
+            return None
+        d = ds.dataset(path)
+        if d.count_rows() > cap:
+            return None
+        tbl = d.to_table()
+        return dict(zip(tbl["word"].to_pylist(), tbl["df"].to_pylist()))
+
     def wm_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
         """WordMatcher word-level postings (B9): word -> sorted internal
         doc ids, independent of gram stop demotion. Point fetch on the
@@ -725,6 +737,88 @@ class MultiReader:
         for ids in out.values():
             ids.sort()
         return out
+
+    # --- aux structures for the rerank / short-query paths: per-segment
+    # unions (doc-id spaces are disjoint, word stats sum across segments)
+
+    def word_df_map(self, cap: int) -> dict[str, int] | None:
+        out: dict[str, int] = {}
+        for r in self.readers:
+            m = r.word_df_map(cap)
+            if m is None:
+                return None
+            for w, df in m.items():
+                out[w] = out.get(w, 0) + df
+            if len(out) > cap:
+                return None
+        return out
+
+    def wm_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
+        out: dict[str, list[np.ndarray]] = {}
+        for r in self.readers:
+            for w, ids in r.wm_word_docs(words).items():
+                out.setdefault(w, []).append(ids)
+        return {
+            w: np.sort(np.concatenate(parts)) for w, parts in out.items()
+        }
+
+    @property
+    def _wm_words(self):
+        # rerank capability probe: present iff every segment has the table
+        return (
+            self.readers[0]._wm_words
+            if all(r._wm_words is not None for r in self.readers)
+            else None
+        )
+
+    @property
+    def _doc_meta(self):
+        return (
+            self.readers[0]._doc_meta
+            if all(r._doc_meta is not None for r in self.readers)
+            else None
+        )
+
+    @property
+    def _term_dict(self):
+        return (
+            self.readers[0]._term_dict
+            if all(r._term_dict is not None for r in self.readers)
+            else None
+        )
+
+    def doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
+        out: dict[int, str] = {}
+        for r in self.readers:
+            out.update(r.doc_texts(doc_ids))
+        return out
+
+    def doc_title_rows(self, doc_ids: list[int]):
+        texts: dict[int, str] = {}
+        wtexts: dict[int, str] | None = {}
+        for r in self.readers:
+            t, w = r.doc_title_rows(doc_ids)
+            texts.update(t)
+            if w is None:
+                wtexts = None
+            elif wtexts is not None:
+                wtexts.update(w)
+        return texts, wtexts
+
+    def terms_with_prefix(self, pattern: str, limit: int) -> list[str]:
+        out: set[str] = set()
+        for r in self.readers:
+            out.update(r.terms_with_prefix(pattern, limit))
+        return sorted(out)[:limit]
+
+    def sorted_terms(self) -> list[str] | None:
+        out: set[str] = set()
+        for r in self.readers:
+            got = r.sorted_terms()
+            if got is None:
+                return None
+            out.update(got)
+        return sorted(out)
 
 
 class QueryExecutor:

@@ -12,10 +12,7 @@ skipped above it, matching how hot structures degrade elsewhere).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
-import pyarrow.dataset as ds
 
 from infidex_spark.kernel.bm25 import compute_idf
 from infidex_spark.kernel.coverage.config import CoverageConfig
@@ -34,28 +31,25 @@ class RerankExecutor:
         self.r = reader
         self.setup = setup or CoverageConfig()
         self.stage1 = QueryExecutor(reader)
-        self._words: dict[str, int] | None = None
-        words_path = os.path.join(reader.index_dir, "words")
         self.word_vocab_degraded = False
-        if os.path.isdir(words_path):
-            tbl = ds.dataset(words_path).to_table()
-            if tbl.num_rows <= WORD_VOCAB_CAP:
-                self._words = dict(
-                    zip(tbl["word"].to_pylist(), tbl["df"].to_pylist())
-                )
-            else:
-                # signal the quality degradation instead of silently
-                # disabling word-level IDF / LD1 / affix lookups
-                self.word_vocab_degraded = True
-                import warnings
+        self._words = (
+            reader.word_df_map(WORD_VOCAB_CAP)
+            if hasattr(reader, "word_df_map")
+            else None
+        )
+        if self._words is None:
+            # signal the quality degradation instead of silently
+            # disabling word-level IDF / LD1 / affix lookups
+            self.word_vocab_degraded = True
+            import warnings
 
-                warnings.warn(
-                    f"word vocabulary ({tbl.num_rows} rows) exceeds "
-                    f"WORD_VOCAB_CAP={WORD_VOCAB_CAP}; word-level IDF, LD1 "
-                    "and affix lookups are disabled for this reader",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
+            warnings.warn(
+                f"word vocabulary unavailable or exceeds WORD_VOCAB_CAP="
+                f"{WORD_VOCAB_CAP}; word-level IDF, LD1 and affix lookups "
+                "are disabled for this reader",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         n = reader.total_docs
         word_idf = (
             {w: float(compute_idf(n, df)) for w, df in self._words.items() if 0 < df <= n}
@@ -90,13 +84,10 @@ class RerankExecutor:
         cache = self._doc_cache
         missing = [i for i in doc_ids if i not in cache]
         if missing:
-            tbl = self.r._doc_meta.to_table(
-                columns=["doc_id", "text"],
-                filter=ds.field("doc_id").isin(missing),
-            )
-            if len(cache) + tbl.num_rows > self.DOC_CACHE_CAP:
+            got = self.r.doc_texts(missing)
+            if len(cache) + len(got) > self.DOC_CACHE_CAP:
                 cache.clear()
-            for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            for i, t in got.items():
                 cache[i] = [t, None]  # doc_view filled lazily
         out = {}
         for i in doc_ids:
@@ -249,6 +240,11 @@ class RerankExecutor:
             else (None, np.zeros(0, dtype=np.int64))
         )
         key_of = dict(zip(proc_ids, proc_keys.tolist()))
+        # soft deletes: tombstoned docs never reach the cascade
+        tomb = getattr(self.r, "tombstones", frozenset())
+        if tomb:
+            wm_overlap = [i for i in wm_overlap if key_of[i] not in tomb]
+            wm_unique = [i for i in wm_unique if key_of[i] not in tomb]
         key_to_id = {key: ids[0] for key, ids in ids_by_key.items()}
         # per-query feature cache (lives in ctx, i.e. per query string):
         # repeated searches of a hot query replay candidate evaluation

@@ -137,3 +137,35 @@ def test_batch_search_matches_executor(spark, incremental_index):
             assert batch_score[d] == pytest.approx(s, rel=1e-5)
             assert batch_rank[d] > prev
             prev = batch_rank[d]
+
+
+def test_rerank_over_multireader(spark, tmp_path):
+    """The full coverage/fusion rerank runs over main+delta segments and
+    matches a single kernel index over all docs (rank + scores)."""
+    from infidex_spark.kernel.engine import FullSearch
+    from infidex_spark.query.rerank import RerankExecutor
+    from infidex_spark.streaming.incremental import delete_docs
+
+    out = str(tmp_path / "rr_idx")
+    df1 = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(BATCH1)],
+        "doc_id long, doc_key long, text string",
+    )
+    build_index(spark, df1, out, n_buckets=4)
+    df2 = spark.createDataFrame(BATCH2, "doc_key long, text string")
+    append_delta(spark, df2, out, batch_id=1, n_buckets=4)
+
+    rr = RerankExecutor(MultiReader(out))
+    fs = FullSearch(_kernel_all())
+    for q in ["batman", "quick fox", "qick fux", "speedng bullet", "wonder woman"]:
+        kern = fs.search(q, 5)
+        got = rr.search(q, 5)
+        assert [k for k, _, _ in got] == [k for k, _, _ in kern], q
+        for (gk, gs, gt), (kk, ks, kt) in zip(got, kern):
+            assert gs == pytest.approx(ks, rel=1e-6) and gt == kt, (q, gk)
+
+    # soft deletes: tombstoned docs never surface through the rerank
+    delete_docs(out, [6])
+    rr2 = RerankExecutor(MultiReader(out))
+    keys = [k for k, _, _ in rr2.search("batman", 5)]
+    assert 6 not in keys
