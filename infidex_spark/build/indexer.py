@@ -917,7 +917,24 @@ def _build_prefixes(
         words_pass, schema="word string"
     )
     word_df_tbl = word_rows.groupBy("word").agg(F.count("*").alias("df"))
-    word_df_tbl.write.mode("overwrite").parquet(os.path.join(out_dir, "words"))
+    # sorted by word (prefix-range scans prune by row-group min/max) plus
+    # a reversed-word twin for suffix ranges and a word-level symmetric-
+    # delete table — together they serve affix/LD1 lookups from disk when
+    # the vocabulary exceeds the executor's in-memory cap
+    word_df_tbl.orderBy("word").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "words")
+    )
+    word_df_tbl.select(
+        F.reverse(F.col("word")).alias("rword"), "df"
+    ).orderBy("rword").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "words_rev")
+    )
+    _symmetric_delete_table(
+        word_df_tbl.filter(
+            (F.length("word") >= 2) & (F.length("word") <= 8)
+        ).select(F.col("word").alias("term")),
+        os.path.join(out_dir, "word_variants"),
+    )
 
     # ---- counts + capped positional rows
     counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
@@ -969,13 +986,11 @@ def _build_prefixes(
     pairs.unpersist()
 
 
-def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> None:
-    """Symmetric-delete (SymSpell d=1) dictionary over live terms:
-    variant -> [terms]. Query-time LD1 expansion looks up the query token
-    and each of its 1-deletions; union of hits == all terms within plain
-    Levenshtein distance 1 (verified against brute force in tests)."""
-
-    terms = spark.read.parquet(postings_path).select("term")
+def _symmetric_delete_table(terms: DataFrame, out_path: str) -> None:
+    """Symmetric-delete (SymSpell d=1) dictionary over a `term` column:
+    variant -> [terms]. A lookup probes the query string and each of its
+    1-deletions; union of hits == all entries within plain Levenshtein
+    distance 1 (verified against brute force in tests)."""
 
     def variants(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -996,4 +1011,12 @@ def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> No
     )
     vdf = terms.mapInPandas(variants, schema=schema).distinct()
     out = vdf.groupBy("variant").agg(F.collect_list("term").alias("terms"))
-    out.write.mode("overwrite").parquet(os.path.join(out_dir, "variants"))
+    out.write.mode("overwrite").parquet(out_path)
+
+
+def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> None:
+    """Gram-term symmetric-delete dictionary (D3 fuzzy expansion)."""
+    _symmetric_delete_table(
+        spark.read.parquet(postings_path).select("term"),
+        os.path.join(out_dir, "variants"),
+    )

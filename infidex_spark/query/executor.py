@@ -535,6 +535,68 @@ class IndexReader:
         tbl = d.to_table()
         return dict(zip(tbl["word"].to_pylist(), tbl["df"].to_pylist()))
 
+    def _words_dataset(self):
+        path = os.path.join(self.index_dir, "words")
+        return ds.dataset(path) if os.path.isdir(path) else None
+
+    def _words_rev_dataset(self):
+        path = os.path.join(self.index_dir, "words_rev")
+        return ds.dataset(path) if os.path.isdir(path) else None
+
+    def _word_variants_dataset(self):
+        path = os.path.join(self.index_dir, "word_variants")
+        return ds.dataset(path) if os.path.isdir(path) else None
+
+    def words_with_prefix(self, prefix: str, limit: int) -> list[str] | None:
+        """Vocabulary words with the given prefix, lex order, capped.
+        None when the words table is absent."""
+        d = self._words_dataset()
+        if d is None:
+            return None
+        hi = prefix + chr(0x10FFFF)
+        tbl = d.to_table(
+            columns=["word"],
+            filter=(ds.field("word") >= prefix) & (ds.field("word") < hi),
+        )
+        return sorted(tbl["word"].to_pylist())[:limit]
+
+    def words_with_suffix(self, suffix: str, limit: int) -> list[str] | None:
+        """Vocabulary words with the given suffix via the reversed-word
+        table (reversed-lex order, matching the FST suffix walk)."""
+        d = self._words_rev_dataset()
+        if d is None:
+            return None
+        rs = suffix[::-1]
+        hi = rs + chr(0x10FFFF)
+        tbl = d.to_table(
+            columns=["rword"],
+            filter=(ds.field("rword") >= rs) & (ds.field("rword") < hi),
+        )
+        return [w[::-1] for w in sorted(tbl["rword"].to_pylist())[:limit]]
+
+    def word_variant_words(self, w: str) -> list[str] | None:
+        """Vocabulary words within Levenshtein distance 1 of w via the
+        word-level symmetric-delete table; None when absent."""
+        d = self._word_variants_dataset()
+        if d is None:
+            return None
+        probes = [w] + [w[:i] + w[i + 1 :] for i in range(len(w))]
+        tbl = d.to_table(filter=ds.field("variant").isin(probes))
+        cands: set[str] = set()
+        for chunk in tbl["terms"].to_pylist():
+            cands.update(chunk)
+        from infidex_spark.kernel.engine import levenshtein_le1
+
+        return sorted(c for c in cands if levenshtein_le1(w, c))
+
+    def word_dfs(self, words: list[str]) -> dict[str, int]:
+        """Point df fetch on the words table."""
+        d = self._words_dataset()
+        if d is None or not words:
+            return {}
+        tbl = d.to_table(filter=ds.field("word").isin(words))
+        return dict(zip(tbl["word"].to_pylist(), tbl["df"].to_pylist()))
+
     def wm_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
         """WordMatcher word-level postings (B9): word -> sorted internal
         doc ids, independent of gram stop demotion. Point fetch on the
@@ -810,6 +872,40 @@ class MultiReader:
         for r in self.readers:
             out.update(r.terms_with_prefix(pattern, limit))
         return sorted(out)[:limit]
+
+    def words_with_prefix(self, prefix: str, limit: int) -> list[str] | None:
+        out: set[str] = set()
+        for r in self.readers:
+            got = r.words_with_prefix(prefix, limit)
+            if got is None:
+                return None
+            out.update(got)
+        return sorted(out)[:limit]
+
+    def words_with_suffix(self, suffix: str, limit: int) -> list[str] | None:
+        out: set[str] = set()
+        for r in self.readers:
+            got = r.words_with_suffix(suffix, limit)
+            if got is None:
+                return None
+            out.update(got)
+        return sorted(out, key=lambda x: x[::-1])[:limit]
+
+    def word_variant_words(self, w: str) -> list[str] | None:
+        out: set[str] = set()
+        for r in self.readers:
+            got = r.word_variant_words(w)
+            if got is None:
+                return None
+            out.update(got)
+        return sorted(out)
+
+    def word_dfs(self, words: list[str]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for r in self.readers:
+            for w, df in r.word_dfs(words).items():
+                out[w] = out.get(w, 0) + df
+        return out
 
     def sorted_terms(self) -> list[str] | None:
         out: set[str] = set()

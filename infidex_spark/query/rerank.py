@@ -26,39 +26,122 @@ from infidex_spark.query.executor import IndexReader, QueryExecutor
 WORD_VOCAB_CAP = 2_000_000
 
 
+class DiskAffixVocab:
+    """AffixVocab interface backed by the reader's sorted word tables
+    (words / words_rev / word_variants) — used when the vocabulary
+    exceeds WORD_VOCAB_CAP, so affix and LD1 lookups degrade to bounded
+    disk range scans instead of disappearing (closes the round-1
+    behavioral cliff). Same per-query-word 4096 budget and len >= 3 affix
+    rule as the in-memory AffixVocab (results are parity-tested equal)."""
+
+    def __init__(self, reader):
+        self.r = reader
+        self._cache: dict[tuple, list[str]] = {}
+
+    def affix_terms(self, w: str) -> list[str]:
+        from infidex_spark.kernel.coverage.vocab import MAX_AFFIX_TERMS_PER_QUERY
+
+        key = ("a", w)
+        got = self._cache.get(key)
+        if got is None:
+            budget = MAX_AFFIX_TERMS_PER_QUERY
+            pre = self.r.words_with_prefix(w, budget + 1) or []
+            pre = [x for x in pre if x != w and len(x) >= 3][:budget]
+            remaining = budget - len(pre)
+            suf: list[str] = []
+            if remaining > 0:
+                suf = self.r.words_with_suffix(w, remaining + 1) or []
+                suf = [x for x in suf if x != w and len(x) >= 3][:remaining]
+            got = pre + suf
+            if len(self._cache) >= 10_000:
+                self._cache.clear()
+            self._cache[key] = got
+        return got
+
+    def ld1(self, w: str) -> list[str]:
+        key = ("l", w)
+        got = self._cache.get(key)
+        if got is None:
+            got = self.r.word_variant_words(w) or []
+            if len(self._cache) >= 10_000:
+                self._cache.clear()
+            self._cache[key] = got
+        return got
+
+
+class _LazyWordIdf:
+    """dict-like word-level IDF lookup backed by point df fetches on the
+    words table (B4 above the in-memory cap)."""
+
+    _MISS = object()
+
+    def __init__(self, reader, total_docs: int):
+        self.r = reader
+        self.n = total_docs
+        self._cache: dict[str, float | None] = {}
+
+    def get(self, w: str, default: float = 0.0) -> float:
+        v = self._cache.get(w, self._MISS)
+        if v is self._MISS:
+            df = self.r.word_dfs([w]).get(w, 0)
+            v = float(compute_idf(self.n, df)) if 0 < df <= self.n else None
+            if len(self._cache) >= 100_000:
+                self._cache.clear()
+            self._cache[w] = v
+        return v if v is not None else default
+
+
 class RerankExecutor:
-    def __init__(self, reader: IndexReader, setup: CoverageConfig | None = None):
+    def __init__(
+        self,
+        reader: IndexReader,
+        setup: CoverageConfig | None = None,
+        word_vocab_cap: int = WORD_VOCAB_CAP,
+    ):
         self.r = reader
         self.setup = setup or CoverageConfig()
         self.stage1 = QueryExecutor(reader)
         self.word_vocab_degraded = False
         self._words = (
-            reader.word_df_map(WORD_VOCAB_CAP)
+            reader.word_df_map(word_vocab_cap)
             if hasattr(reader, "word_df_map")
             else None
         )
-        if self._words is None:
+        n = reader.total_docs
+        word_idf = None
+        if self._words is not None:
+            word_idf = {
+                w: float(compute_idf(n, df))
+                for w, df in self._words.items()
+                if 0 < df <= n
+            }
+            from infidex_spark.kernel.coverage.vocab import AffixVocab
+
+            self._affix_vocab = AffixVocab(self._words)
+        elif (
+            getattr(reader, "words_with_prefix", None) is not None
+            and reader.words_with_prefix("￿", 1) is not None
+            and reader.word_variant_words("￿") is not None
+        ):
+            # vocabulary above the in-memory cap but the sorted word
+            # tables exist: affix/LD1/word-IDF run as bounded disk range
+            # scans instead of disappearing
+            self._affix_vocab = DiskAffixVocab(reader)
+            word_idf = _LazyWordIdf(reader, n)
+        else:
+            self._affix_vocab = None
             # signal the quality degradation instead of silently
             # disabling word-level IDF / LD1 / affix lookups
             self.word_vocab_degraded = True
             import warnings
 
             warnings.warn(
-                f"word vocabulary unavailable or exceeds WORD_VOCAB_CAP="
-                f"{WORD_VOCAB_CAP}; word-level IDF, LD1 and affix lookups "
-                "are disabled for this reader",
+                "word vocabulary unavailable (no words/word_variants "
+                "tables); word-level IDF, LD1 and affix lookups are "
+                "disabled for this reader",
                 RuntimeWarning,
                 stacklevel=2,
             )
-        n = reader.total_docs
-        word_idf = (
-            {w: float(compute_idf(n, df)) for w, df in self._words.items() if 0 < df <= n}
-            if self._words
-            else None
-        )
-        from infidex_spark.kernel.coverage.vocab import AffixVocab
-
-        self._affix_vocab = AffixVocab(self._words) if self._words else None
         self._df_cache: dict[str, int] = {}
         # per-doc [text, doc_view] cache (the reference keeps documents
         # parsed in memory; this is the bounded point-read analogue)

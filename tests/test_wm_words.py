@@ -81,3 +81,37 @@ def test_executor_wm_words_matches_kernel(spark, tmp_path):
     for q in ["go", "zebra", "west traveler", "stipes"]:
         kern = [(k, pytest.approx(s, rel=1e-6)) for k, s, _ in fs.search(q, 5)]
         assert [(k, s) for k, s, _ in rr.search(q, 5)] == kern, q
+
+
+def test_disk_affix_vocab_matches_inmemory(spark, tmp_path):
+    """Above the in-memory vocab cap, affix/LD1/word-IDF run from the
+    sorted word tables — results identical to the in-memory path."""
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader
+    from infidex_spark.query.rerank import RerankExecutor
+
+    docs_py = [
+        (1, "the shawshank redemption story"),
+        (2, "shawshank prison drama"),
+        (3, "redemption of the city"),
+        (4, "quick brown fox jumps"),
+        (5, "foxes are quick animals"),
+        (6, "shaw shank separated words"),
+    ]
+    out = str(tmp_path / "dvidx")
+    docs = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(docs_py)],
+        "doc_id long, doc_key long, text string",
+    )
+    build_index(spark, docs, out, n_buckets=4, salts=2)
+    mem = RerankExecutor(IndexReader(out))
+    disk = RerankExecutor(IndexReader(out), word_vocab_cap=0)  # force disk
+    assert not disk.word_vocab_degraded
+    assert mem._affix_vocab is not None and disk._affix_vocab is not None
+    # vocab-level equivalence
+    for w in ["sh", "fox", "redemption", "shank", "quick", "zz"]:
+        assert disk._affix_vocab.affix_terms(w) == mem._affix_vocab.affix_terms(w), w
+        assert disk._affix_vocab.ld1(w) == mem._affix_vocab.ld1(w), w
+    # end-to-end equivalence
+    for q in ["shaawshank", "redemption sh", "qick fux", "fox"]:
+        assert disk.search(q, 5) == mem.search(q, 5), q
