@@ -458,7 +458,7 @@ def build_index(
         written = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
         return written.agg(F.sum("dl")).collect()[0][0] or 0.0
 
-    pool = ThreadPoolExecutor(max_workers=3)
+    pool = ThreadPoolExecutor(max_workers=4)
     fut_doc_stats = pool.submit(_doc_stats_job)
     fut_prefixes = (
         pool.submit(_build_prefixes, docs, out_dir, max_prefix_docs, synonym_map)
@@ -467,6 +467,11 @@ def build_index(
     )
     fut_wm_words = (
         pool.submit(_build_wm_words, docs, out_dir, synonym_map, stop_term_limit)
+        if aux
+        else None
+    )
+    fut_word_tables = (
+        pool.submit(_build_word_tables, docs, out_dir, synonym_map)
         if aux
         else None
     )
@@ -586,6 +591,8 @@ def build_index(
         fut_prefixes.result()
     if fut_wm_words is not None:
         fut_wm_words.result()
+    if fut_word_tables is not None:
+        fut_word_tables.result()
     pool.shutdown()
     _mark("join_doc_stats_prefixes")
     if aux:
@@ -761,6 +768,51 @@ def _build_wm_words(
     )
 
 
+def _build_word_tables(docs: DataFrame, out_dir: str, synonym_map=None) -> None:
+    """Word-level df table (B4) plus the disk affix/LD1 structures: words
+    sorted by word (prefix ranges), words_rev sorted by reversed word
+    (suffix ranges), word_variants (symmetric-delete over 2-8 char
+    words). These serve the rerank's word lookups both below the
+    executor's in-memory cap (loaded as a dict) and above it (bounded
+    range scans)."""
+
+    def words_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _DELIM_SPLIT
+
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
+            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+            words = words[words.str.len() >= 1]
+            if not len(words):
+                continue
+            uniq = pd.DataFrame(
+                {"doc_id": words.index, "word": words.to_numpy()}
+            ).drop_duplicates()
+            yield uniq[["word"]]
+
+    word_rows = docs.select("doc_id", "text").mapInPandas(
+        words_pass, schema="word string"
+    )
+    word_df_tbl = word_rows.groupBy("word").agg(F.count("*").alias("df"))
+    word_df_tbl.orderBy("word").write.mode("overwrite").parquet(
+        os.path.join(out_dir, "words")
+    )
+    # derive the twin structures from the written table (one aggregation)
+    reread = docs.sparkSession.read.parquet(os.path.join(out_dir, "words"))
+    reread.select(F.reverse(F.col("word")).alias("rword"), "df").orderBy(
+        "rword"
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "words_rev"))
+    _symmetric_delete_table(
+        reread.filter(
+            (F.length("word") >= 2) & (F.length("word") <= 8)
+        ).select(F.col("word").alias("term")),
+        os.path.join(out_dir, "word_variants"),
+    )
+
+
 def _build_prefixes(
     docs: DataFrame, out_dir: str, max_prefix_docs: int, synonym_map=None
 ) -> None:
@@ -894,47 +946,6 @@ def _build_prefixes(
     doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
     doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
     doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
-
-    # ---- word-level df table (B4): distinct docs per word
-    def words_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from infidex_spark.kernel.normalize import normalize_series
-        from infidex_spark.build.tokenizer import _DELIM_SPLIT
-
-        for pdf in batches:
-            texts = normalize_series(pdf["text"].fillna("")).str.lower()
-            if synonym_map is not None and synonym_map.has_mappings:
-                texts = synonym_map.canonicalize_series(texts)
-            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-            words = words[words.str.len() >= 1]
-            if not len(words):
-                continue
-            uniq = pd.DataFrame(
-                {"doc_id": words.index, "word": words.to_numpy()}
-            ).drop_duplicates()
-            yield uniq[["word"]]
-
-    word_rows = docs.select("doc_id", "text").mapInPandas(
-        words_pass, schema="word string"
-    )
-    word_df_tbl = word_rows.groupBy("word").agg(F.count("*").alias("df"))
-    # sorted by word (prefix-range scans prune by row-group min/max) plus
-    # a reversed-word twin for suffix ranges and a word-level symmetric-
-    # delete table — together they serve affix/LD1 lookups from disk when
-    # the vocabulary exceeds the executor's in-memory cap
-    word_df_tbl.orderBy("word").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "words")
-    )
-    word_df_tbl.select(
-        F.reverse(F.col("word")).alias("rword"), "df"
-    ).orderBy("rword").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "words_rev")
-    )
-    _symmetric_delete_table(
-        word_df_tbl.filter(
-            (F.length("word") >= 2) & (F.length("word") <= 8)
-        ).select(F.col("word").alias("term")),
-        os.path.join(out_dir, "word_variants"),
-    )
 
     # ---- counts + capped positional rows
     counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
