@@ -303,6 +303,36 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse k-means cells + nprobe): with nprobe ==
+    n_centroids the probe set covers every cell, so the result must equal
+    exact cosine top-k — giving the IVF dataflow a full DuckDB oracle
+    (the lossy small-nprobe path is recall-tested in pytest)."""
+    import numpy as np
+
+    from infidex_spark.pipeline.similarity import (
+        _cosine_expr,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = ivf_train_centroids(emb, n_centroids=8, iters=3, seed=11)
+    assigned = ivf_assign(emb, cents)  # nprobe == n_centroids: all cells
+    assigned = assigned.filter(
+        F.col("cell").isin(list(range(int(cents.shape[0]))))
+    )
+    # round BEFORE ordering so the limit boundary matches the oracle
+    return (
+        assigned.select(
+            "vec_id", F.round(_cosine_expr("embedding", qvec), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vector via
     mapInPandas (decode kernel is a deterministic stub; rows-only)."""
@@ -575,6 +605,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -822,6 +853,16 @@ ORACLES = {
                     ELSE 'fr' END AS lang_guess,
                greatest(en, es, de, fr)::BIGINT AS votes
         FROM v
+    """,
+    "ann_ivf_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        FROM embeddings e, q
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
     """,
     "ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

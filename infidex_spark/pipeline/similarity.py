@@ -86,18 +86,123 @@ def lsh_bucketed_topk(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
-    """ANN top-k: probe only the query's LSH bucket, exact cosine inside.
-    At 10^12 vectors, persist the bucketed table partitioned by bucket and
-    this becomes a partition-pruned scan."""
+    """ANN top-k: probe the query's LSH bucket (plus, with multiprobe=d,
+    every bucket within Hamming distance d — the standard fix for the
+    recall cliff at high bit counts: a vector near a hyperplane falls on
+    the far side in some bits, and flipping the least-confident bits
+    recovers it), exact cosine inside the probed buckets. At 10^12
+    vectors, persist the bucketed table partitioned by bucket and this
+    becomes a partition-pruned scan of 1 + bits + ... buckets."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
     qbits = 0
     for row in planes:
         qbits = qbits * 2 + (1 if float(np.dot(row, query_vec)) >= 0 else 0)
+    probes = {qbits}
+    if multiprobe >= 1:
+        for i in range(bits):
+            probes.add(qbits ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(bits):
+            for j in range(i + 1, bits):
+                probes.add(qbits ^ (1 << i) ^ (1 << j))
     bucketed = emb.withColumn("bucket", lsh_bucket_expr(vec_col, planes))
     return (
-        bucketed.filter(F.col("bucket") == qbits)
+        bucketed.filter(F.col("bucket").isin(sorted(probes)))
+        .select(F.col(id_col), _cosine_expr(vec_col, query_vec).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    sample_cap: int = 100_000,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means over a seeded sample.
+
+    The sample is taken with a deterministic hash filter and trained on
+    the driver (numpy Lloyd iterations with fixed seed + stable
+    tie-breaks) — at 10^12 vectors the coarse quantizer still only needs
+    ~10^5 training points, so driver training is the right scale shape;
+    assignment is the distributed part."""
+    total = emb.count()
+    frac = min(1.0, sample_cap / max(total, 1))
+    sample = emb.select(vec_col)
+    if frac < 1.0:
+        sample = sample.sample(fraction=frac, seed=seed)
+    X = np.asarray(
+        [r[0] for r in sample.limit(sample_cap).collect()], dtype=np.float64
+    )
+    if X.shape[0] == 0:
+        raise ValueError("no vectors to train on")
+    k = min(n_centroids, X.shape[0])
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(X.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        # cosine assignment (normalized dot); stable argmax
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if members.shape[0]:
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a `cell` column = nearest centroid by cosine (JVM-side exprs).
+    Persist partitioned by cell for partition-pruned probes at scale.
+
+    Scale note: centroids are embedded as Catalyst literals, so the plan
+    grows with n_centroids*dim — right up to ~10^4 literal floats. For
+    256+ cells at 1024-dim, switch the assignment to a pandas_udf with a
+    broadcast centroid matrix (one argmax matmul per Arrow batch)."""
+    best_cell = F.lit(0)
+    best_sim = F.lit(-2.0)
+    for c, row in enumerate(centroids):
+        sim = _cosine_expr(vec_col, [float(x) for x in row])
+        better = sim > best_sim
+        best_cell = F.when(better, F.lit(c)).otherwise(best_cell)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return emb.withColumn("cell", best_cell)
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: score only the nprobe cells whose centroids are
+    closest to the query (exact cosine within). The inverted-file scale
+    path: recall grows with nprobe, scan cost is nprobe/n_centroids of
+    the corpus."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    Cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    order = np.argsort(-(Cn @ qn), kind="stable")[:nprobe]
+    cells = [int(c) for c in order]
+    assigned = ivf_assign(emb, centroids, vec_col)
+    return (
+        assigned.filter(F.col("cell").isin(cells))
         .select(F.col(id_col), _cosine_expr(vec_col, query_vec).alias("cosine"))
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)

@@ -121,3 +121,43 @@ def test_multimodal_plumbing(spark):
     assert feats[0].n_bytes == 10
     plan = frame_sample_plan(media, every_ms=1000).collect()
     assert [r.frame_ts_ms for r in plan] == [0, 1000, 2000, 3000]
+
+
+def test_lsh_multiprobe_improves_recall(emb_df):
+    from infidex_spark.pipeline.similarity import lsh_bucketed_topk as lsh
+
+    rows = emb_df.collect()
+    q = list(rows[0].embedding)
+    exact = {r.vec_id for r in brute_force_topk(emb_df, q, 10).collect()}
+    # at high bit counts single-bucket recall cliffs; Hamming-1 probing
+    # must recover at least as much and reach >=8/10 on clustered data
+    single = {r.vec_id for r in lsh(emb_df, q, 10, bits=6).collect()}
+    multi = {r.vec_id for r in lsh(emb_df, q, 10, bits=6, multiprobe=1).collect()}
+    assert len(exact & multi) >= len(exact & single)
+    assert len(exact & multi) >= 8
+
+
+def test_ivf_topk_recall_and_determinism(emb_df):
+    from infidex_spark.pipeline.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    cents = ivf_train_centroids(emb_df, n_centroids=4, iters=4, seed=11)
+    cents2 = ivf_train_centroids(emb_df, n_centroids=4, iters=4, seed=11)
+    np.testing.assert_array_equal(cents, cents2)  # deterministic training
+
+    rows = emb_df.collect()
+    q = list(rows[0].embedding)
+    exact = [r.vec_id for r in brute_force_topk(emb_df, q, 10).collect()]
+    # nprobe == n_centroids scans everything -> identical to brute force
+    full = [r.vec_id for r in ivf_topk(emb_df, cents, q, 10, nprobe=4).collect()]
+    assert full == exact
+    # nprobe=1 still recovers most of the top-k on clustered data
+    one = {r.vec_id for r in ivf_topk(emb_df, cents, q, 10, nprobe=1).collect()}
+    assert len(set(exact) & one) >= 7
+    # every vector lands in exactly one cell
+    assigned = ivf_assign(emb_df, cents)
+    assert assigned.count() == len(rows)
+    assert assigned.filter((F.col("cell") < 0) | (F.col("cell") >= 4)).count() == 0
