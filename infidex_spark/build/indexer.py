@@ -6,16 +6,24 @@ Dataflow (default strategy="sortmerge"):
     -[mapInPandas: vectorized tokenize+count]-> tokens(doc_id, term, occ)
     tokens += tf (byte-saturated), dfc (df contribution)      [pure SQL]
     term_df   = tokens groupBy(term) sum(dfc)                  [shuffle 1]
-    stop set  = Zipf head where df > stop_term_limit           (one collect,
-                broadcast anti-join — no shuffle)
+    stop set  = df > stop_term_limit, written BY SPARK and anti-joined on
+                the cluster (AQE picks broadcast when small); the driver
+                collects only a bounded 100-term manifest sample
     doc_stats = live groupBy(doc_id) sum(tf)                   [shuffle 2]
     postings  = live repartition(term-bucket)                  [shuffle 3]
                 -> sortWithinPartitions(term, packed)          [spillable sort]
                 -> streaming Arrow pass: run-length group by term,
-                   delta+varint encode, per-block max scores
-    writes: postings/ (parquet, partitioned by term bucket, sorted by term),
-            doc_stats/, stop_terms/, prefixes/, variants/, MANIFEST.json,
-            checkpoints/ (per-bucket lineage + metrics rows)
+                   delta+varint encode, per-block byte offsets + max scores
+    concurrent aux jobs (thread pool; their stages fill scheduler gaps):
+            prefixes/champions/doc_meta, wm_words (word postings, same
+            sort-merge shape), words/words_rev/word_variants
+    after postings: variants (gram symmetric-delete) + term_dict (sorted
+            dictionary for prefix-range scans), concurrently
+    writes: postings/ (parquet, partitioned by term bucket), doc_stats/,
+            stop_terms/, prefixes/, champions/, prefix_postings/,
+            doc_meta/, wm_words/, words/, words_rev/, word_variants/,
+            variants/, term_dict/, MANIFEST.json, checkpoints/ (per-bucket
+            lineage + metrics rows)
 
 Skew (Zipfian 3-grams at 10^12 docs):
 - tokens are pre-aggregated per doc inside the Arrow batch, so shuffles
