@@ -99,3 +99,38 @@ def test_batch_encoder_matches_single():
         assert batch["weights"][i] == single["weights"], i
         assert batch["block_last_doc"][i] == single["block_last_doc"].tolist(), i
         assert batch["block_max_w"][i] == single["block_max_w"].tolist(), i
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=600),
+    st.data(),
+)
+def test_decode_posting_blocks_matches_full_decode(raw_ids, data):
+    """Any block range decodes to exactly the corresponding slice of the
+    full decode (lazy block decode correctness, property-based)."""
+    import numpy as np
+
+    from infidex_spark.build.codec import (
+        BLOCK_SIZE,
+        decode_posting_blocks,
+        decode_postings,
+        encode_postings,
+    )
+
+    doc_ids = np.unique(np.asarray(raw_ids, dtype=np.int64))
+    weights = (doc_ids % 251 + 1).astype(np.uint8)
+    enc = encode_postings(doc_ids, weights)
+    n = int(doc_ids.size)
+    full_ids, full_w = decode_postings(enc["payload"], enc["weights"], n)
+    np.testing.assert_array_equal(full_ids, doc_ids)
+    nblocks = len(enc["block_offsets"])
+    b0 = data.draw(st.integers(min_value=0, max_value=nblocks))
+    b1 = data.draw(st.integers(min_value=b0, max_value=nblocks))
+    ids, w = decode_posting_blocks(
+        enc["payload"], enc["weights"], n,
+        np.asarray(enc["block_offsets"]), np.asarray(enc["block_last_doc"]),
+        b0, b1,
+    )
+    s, e = b0 * BLOCK_SIZE, min(b1 * BLOCK_SIZE, n)
+    np.testing.assert_array_equal(ids, full_ids[s:e])
+    np.testing.assert_array_equal(w, full_w[s:e])
