@@ -46,6 +46,23 @@ def _words(docs: DataFrame):
     )
 
 
+def _contract_index(spark, sf_dir: str) -> str:
+    """Build (or reuse) the per-sf_dir contract index. Rebuilds when the
+    cached dir predates the current on-disk feature set (wm_words is the
+    newest required table)."""
+    from infidex_spark.build.indexer import build_index
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = os.path.join(WORK_DIR, f"index_{tag}")
+    fresh = os.path.exists(os.path.join(idx_dir, "MANIFEST.json")) and os.path.isdir(
+        os.path.join(idx_dir, "wm_words")
+    )
+    if not fresh:
+        docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
+        build_index(spark, docs, idx_dir, n_buckets=8, salts=4)
+    return idx_dir
+
+
 # --------------------------------------------------------------------- search
 # Word-level analogues of the index-build operators (B1-B3) and BM25 (D6),
 # oracle-checked; the n-gram variants are golden-tested in pytest.
@@ -141,11 +158,7 @@ def q_ngram_topk_engine(spark, sf_dir):
     from infidex_spark.build.indexer import build_index
     from infidex_spark.query.executor import IndexReader, QueryExecutor
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx_dir = os.path.join(WORK_DIR, f"index_{tag}")
-    docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
-    if not os.path.exists(os.path.join(idx_dir, "MANIFEST.json")):
-        build_index(spark, docs, idx_dir, n_buckets=8, salts=4)
+    idx_dir = _contract_index(spark, sf_dir)
     ex = QueryExecutor(IndexReader(idx_dir))
     hits = ex.search(NGRAM_QUERY, 10)
     return spark.createDataFrame(
@@ -425,11 +438,7 @@ def q_ngram_rerank_engine(spark, sf_dir):
     from infidex_spark.query.executor import IndexReader
     from infidex_spark.query.rerank import RerankExecutor
 
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx_dir = os.path.join(WORK_DIR, f"index_{tag}")
-    docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
-    if not os.path.exists(os.path.join(idx_dir, "MANIFEST.json")):
-        build_index(spark, docs, idx_dir, n_buckets=8)
+    idx_dir = _contract_index(spark, sf_dir)
     rr = RerankExecutor(IndexReader(idx_dir))
     hits = rr.search(NGRAM_QUERY, 10)
     return spark.createDataFrame(
@@ -561,11 +570,7 @@ def q_wm_word_docs(spark, sf_dir):
     from infidex_spark.build.indexer import build_index
     from infidex_spark.query.executor import IndexReader
 
-    idx_dir = os.path.join(WORK_DIR, f"contract_idx_{os.path.basename(sf_dir)}")
-    docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
-    if not os.path.exists(os.path.join(idx_dir, "MANIFEST.json")):
-        build_index(spark, docs, idx_dir, n_buckets=8)
-    reader = IndexReader(idx_dir)
+    reader = IndexReader(_contract_index(spark, sf_dir))
     got = reader.wm_word_docs(WM_PROBE_WORDS)
     rows = [(w, int(ids.size)) for w, ids in sorted(got.items())]
     return spark.createDataFrame(rows, "word string, n_docs long")
