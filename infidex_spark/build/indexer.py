@@ -148,57 +148,36 @@ def tokenize_docs_fields(
 
     tf depends on the ORDER of occurrence weights (round-to-even at every
     accumulate), so it cannot be a closed form of the occurrence count;
-    the fold runs per doc inside the Arrow batch. Weight indices:
-    0=High(1.5) 1=Med(1.25) 2=Low(1.0)."""
+    the whole batch folds in numpy (build.tokenizer.tokenize_fields_batch
+    — no per-row Python; the rounds loop advances every multi-occurrence
+    (doc, term) group at once). Weight indices: 0=High(1.5) 1=Med(1.25)
+    2=Low(1.0)."""
+    from infidex_spark.build.tokenizer import tokenize_fields_batch
+    from infidex_spark.kernel.engine import FIELD_DELIM
+
     cols = [c for c, _ in fields]
     widxs = [int(w) for _, w in fields]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from infidex_spark.kernel.engine import field_boundaries, field_weight_at
-        from infidex_spark.kernel.normalize import normalize
-        from infidex_spark.kernel.tokenize import index_tokens
-
         for pdf in batches:
-            ids = pdf["doc_id"].tolist()
-            fvals = [pdf[c].fillna("").astype(str).tolist() for c in cols]
-            out_doc: list[int] = []
-            out_term: list[str] = []
-            out_tf: list[int] = []
-            out_dfc: list[int] = []
-            for r, did in enumerate(ids):
-                raw, bounds = field_boundaries(
-                    [(fvals[j][r], widxs[j]) for j in range(len(cols))]
-                )
-                prepped = normalize(raw).lower()
-                if synonym_map is not None and synonym_map.has_mappings:
-                    prepped = synonym_map.canonicalize_text(prepped)
-                acc: dict[str, list] = {}  # term -> [tf, occ, successes]
-                for term, pos in index_tokens(prepped, sizes, start_pad):
-                    w = field_weight_at(pos, bounds)
-                    st = acc.get(term)
-                    if st is None:
-                        # round() is round-half-to-even, matching the
-                        # kernel's np.rint / reference Math.Round
-                        acc[term] = [min(round(w), 255), 1, 0]
-                    else:
-                        st[1] += 1
-                        nw = st[0] + w
-                        if nw <= 255.0:
-                            st[0] = round(nw)
-                            st[2] += 1
-                for term, (tf, occ, succ) in acc.items():
-                    out_doc.append(did)
-                    out_term.append(term)
-                    out_tf.append(tf)
-                    out_dfc.append(occ - succ)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.asarray(out_doc, dtype=np.int64),
-                    "term": out_term,
-                    "tf": np.asarray(out_tf, dtype=np.int64),
-                    "dfc": np.asarray(out_dfc, dtype=np.int64),
-                }
+            ids = pdf["doc_id"].to_numpy()
+            fvals = [pdf[c].fillna("").astype(str) for c in cols]
+            # '§'-concatenated raw text + per-doc boundary offsets
+            # (field_boundaries semantics, vectorized: boundary j starts
+            # at sum of previous raw lengths + j delimiters)
+            raw = fvals[0].str.cat(fvals[1:], sep=FIELD_DELIM) if len(cols) > 1 else fvals[0]
+            bpos = np.zeros((len(pdf), len(cols)), dtype=np.int64)
+            acc = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(len(cols) - 1):
+                acc += fvals[j].str.len().to_numpy(dtype=np.int64) + 1
+                bpos[:, j + 1] = acc
+            out = tokenize_fields_batch(
+                raw, bpos, widxs, sizes, start_pad, synonym_map
             )
+            if len(out) == 0:
+                continue
+            out["doc_id"] = ids[out["doc_idx"].to_numpy()]
+            yield out[["doc_id", "term", "tf", "dfc"]]
 
     return docs.select("doc_id", *cols).mapInPandas(run, schema=FIELDS_TOKENS_SCHEMA)
 

@@ -165,6 +165,234 @@ def tokenize_batch_frames(
         yield wc
 
 
+_DELIM_CPS = np.array(sorted(ord(c) for c in DELIMITERS), dtype=np.uint32)
+
+
+def _strings_of_runs(cps: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Materialize substrings cps[s:s+l] for (starts, lens) pairs as an
+    object array, vectorized by grouping runs of equal length (one
+    utf-32 decode per distinct length instead of one slice per word)."""
+    out = np.empty(starts.size, dtype=object)
+    for L in np.unique(lens):
+        sel = lens == L
+        pos = starts[sel]
+        idx = pos[:, None] + np.arange(L)
+        flat = cps[idx.reshape(-1)].astype("<u4").tobytes()
+        s = flat.decode("utf-32-le")
+        vals = [s[i * L : (i + 1) * L] for i in range(pos.size)]
+        out[np.flatnonzero(sel)] = vals
+    return out
+
+
+def tokenize_fields_batch(
+    raw_texts: pd.Series,
+    bpos: np.ndarray,
+    widxs: list[int],
+    sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,
+    start_pad: int = DEFAULT_START_PAD,
+    synonym_map=None,
+) -> pd.DataFrame:
+    """Vectorized multi-field tokenize + byte-saturating tf fold.
+
+    raw_texts: the '§'-concatenated RAW field values per doc (one batch);
+    bpos: (n_docs, n_fields) field boundary offsets in the raw text
+    (kernel.engine.field_boundaries semantics); widxs: weight index per
+    field. Returns (doc_idx, term, tf, dfc) — bit-identical to folding
+    kernel.tokenize.index_tokens occurrences through the reference's
+    Term.FirstCycleAdd (round-half-even at every accumulate, saturation
+    at 255, df contribution = occurrences - successful accumulates), but
+    with no per-row Python:
+
+    - occurrences (grams per size, then words) are generated as numpy
+      arrays with padded-text positions, exactly in index_tokens'
+      emission order (order matters: the fold is order-dependent);
+    - per-occurrence field weights come from one vectorized boundary
+      comparison per field (reference VectorModel.DetermineFieldWeight,
+      including the raw-offset-vs-padded-position quirk);
+    - the fold itself runs in "rounds": round r advances every (doc,
+      term) group with > r occurrences at once (numpy rint + saturation
+      mask), so total work is O(total occurrences) vectorized and the
+      loop count is the max per-doc term multiplicity, not the corpus.
+    """
+    from infidex_spark.kernel.engine import FIELD_WEIGHTS
+    from infidex_spark.kernel.normalize import normalize_series
+
+    texts = normalize_series(raw_texts.fillna("")).str.lower()
+    if synonym_map is not None and synonym_map.has_mappings:
+        texts = synonym_map.canonicalize_series(texts)
+    texts = texts.reset_index(drop=True)
+    n_docs = len(texts)
+    empty = pd.DataFrame(
+        {
+            "doc_idx": pd.array([], dtype="int64"),
+            "term": pd.array([], dtype="object"),
+            "tf": pd.array([], dtype="int64"),
+            "dfc": pd.array([], dtype="int64"),
+        }
+    )
+    if n_docs == 0:
+        return empty
+    if start_pad < 1:
+        raise ValueError("vectorized fields tokenizer requires start_pad >= 1")
+
+    padded = (START_PAD * start_pad) + texts
+    blob = "".join(padded.tolist())
+    cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+    lengths = padded.str.len().to_numpy(dtype=np.int64)
+    ends = np.cumsum(lengths)
+    doc_starts = ends - lengths
+    padded_len = lengths
+
+    min_size = sizes[0]
+    max_size = sizes[-1]
+
+    # --- occurrence streams: (doc, char-length group, packed key or word
+    # string, padded position, emission stage)
+    occ_doc: list[np.ndarray] = []
+    occ_pos: list[np.ndarray] = []
+    occ_stage: list[np.ndarray] = []
+    occ_keys: list[np.ndarray] = []  # parallel: packed uint64 per occurrence
+    occ_len: list[np.ndarray] = []  # char length of the term (0 = long word)
+    long_words: np.ndarray | None = None  # object array aligned with its entry
+
+    for stage, size in enumerate(sizes):
+        n = cps.size
+        if n < size:
+            continue
+        pos = np.arange(n - size + 1)
+        doc_of = np.searchsorted(ends, pos, side="right")
+        valid = pos + size <= ends[doc_of]
+        if size != sizes[0]:
+            # multi-size rule: docs with padded length <= min size only
+            # use the min size (Tokenizer.cs:288-298)
+            valid &= padded_len[doc_of] > sizes[0]
+        pos, doc_of = pos[valid], doc_of[valid]
+        key = _pack_keys(cps, pos, size)
+        mask = ~np.isin(key, _pad_keys(size))
+        key, pos, doc_of = key[mask], pos[mask], doc_of[mask]
+        occ_doc.append(doc_of)
+        occ_pos.append(pos - doc_starts[doc_of])  # padded-text position
+        occ_stage.append(np.full(key.size, stage, dtype=np.int64))
+        occ_keys.append(key)
+        occ_len.append(np.full(key.size, size, dtype=np.int64))
+        if size == max_size:
+            break
+
+    # --- words: maximal non-delimiter runs inside each doc's text region.
+    # Pad codepoints act as run breakers (docs always begin with
+    # start_pad >= 1 pads, so runs never span documents).
+    is_break = (
+        np.isin(cps, _DELIM_CPS)
+        | (cps == ord(START_PAD))
+        | (cps == ord(STOP_PAD))
+    )
+    keep = ~is_break
+    prev_break = np.empty(cps.size, dtype=bool)
+    prev_break[0] = True
+    prev_break[1:] = is_break[:-1]
+    next_break = np.empty(cps.size, dtype=bool)
+    next_break[-1] = True
+    next_break[:-1] = is_break[1:]
+    w_starts = np.flatnonzero(keep & prev_break)
+    w_ends = np.flatnonzero(keep & next_break)  # inclusive
+    w_lens = w_ends - w_starts + 1
+    sel = w_lens >= min_size
+    w_starts, w_lens = w_starts[sel], w_lens[sel]
+    if w_starts.size:
+        w_doc = np.searchsorted(ends, w_starts, side="right")
+        w_pos = w_starts - doc_starts[w_doc]  # == start_pad + text offset
+        word_stage = len(sizes)
+        packable = w_lens <= 3  # 3 x 21 bits fits uint64 alongside grams
+        for L in np.unique(w_lens[packable]):
+            lsel = packable & (w_lens == L)
+            occ_doc.append(w_doc[lsel])
+            occ_pos.append(w_pos[lsel])
+            occ_stage.append(np.full(int(lsel.sum()), word_stage, dtype=np.int64))
+            occ_keys.append(_pack_keys(cps, w_starts[lsel], int(L)))
+            occ_len.append(np.full(int(lsel.sum()), int(L), dtype=np.int64))
+        lsel = ~packable
+        if lsel.any():
+            occ_doc.append(w_doc[lsel])
+            occ_pos.append(w_pos[lsel])
+            occ_stage.append(np.full(int(lsel.sum()), word_stage, dtype=np.int64))
+            occ_keys.append(np.zeros(int(lsel.sum()), dtype=np.uint64))
+            occ_len.append(np.zeros(int(lsel.sum()), dtype=np.int64))
+            long_words = _strings_of_runs(cps, w_starts[lsel], w_lens[lsel])
+
+    if not occ_doc:
+        return empty
+    doc = np.concatenate(occ_doc)
+    pos = np.concatenate(occ_pos)
+    stage = np.concatenate(occ_stage)
+    keys = np.concatenate(occ_keys)
+    klen = np.concatenate(occ_len)
+
+    # --- term codes: one id space per char length (identical strings of
+    # the same length share a packed key, so a len-3 word and the len-3
+    # gram at its position unify exactly as in index_tokens), plus a
+    # factorized space for words longer than 3 chars.
+    code = np.empty(doc.size, dtype=np.int64)
+    categories: list[str] = []
+    offset = 0
+    for L in np.unique(klen):
+        lsel = klen == L
+        if L == 0:
+            w_codes, uniq_w = pd.factorize(long_words)
+            code[lsel] = offset + w_codes
+            categories.extend(uniq_w.tolist())
+            offset += len(uniq_w)
+        else:
+            uniq, inv = np.unique(keys[lsel], return_inverse=True)
+            code[lsel] = offset + inv
+            categories.extend(_key_to_str(uniq, int(L)))
+            offset += uniq.size
+
+    # --- per-occurrence field weight (DetermineFieldWeight): the last
+    # boundary whose RAW offset <= the PADDED token position wins.
+    nf = bpos.shape[1]
+    widx_arr = np.asarray(widxs, dtype=np.int64)
+    bidx = np.zeros(doc.size, dtype=np.int64)
+    for j in range(nf):
+        bidx += bpos[doc, j] <= pos
+    wsel = np.where(bidx > 0, widx_arr[np.maximum(bidx - 1, 0)], 0)
+    weights_tab = np.array(list(FIELD_WEIGHTS), dtype=np.float64)
+    w = np.where(
+        (bidx > 0) & (wsel < weights_tab.size),
+        weights_tab[np.minimum(wsel, weights_tab.size - 1)],
+        1.0,
+    )
+
+    # --- order-preserving fold per (doc, term): sort by (doc, code) with
+    # emission order (stage, then position) as the tiebreaker
+    seq = stage << np.int64(32) | pos
+    order = np.lexsort((seq, code, doc))
+    doc_s, code_s, w_s = doc[order], code[order], w[order]
+    grp = np.empty(doc_s.size, dtype=bool)
+    grp[0] = True
+    grp[1:] = (doc_s[1:] != doc_s[:-1]) | (code_s[1:] != code_s[:-1])
+    gstart = np.flatnonzero(grp)
+    glen = np.diff(np.append(gstart, doc_s.size))
+
+    tf = np.minimum(np.rint(w_s[gstart]), 255.0)
+    succ = np.zeros(gstart.size, dtype=np.int64)
+    max_len = int(glen.max())
+    for r in range(1, max_len):
+        active = np.flatnonzero(glen > r)
+        nw = tf[active] + w_s[gstart[active] + r]
+        ok = nw <= 255.0
+        tf[active] = np.where(ok, np.rint(nw), tf[active])
+        succ[active] += ok
+
+    return pd.DataFrame(
+        {
+            "doc_idx": doc_s[gstart],
+            "term": pd.Categorical.from_codes(code_s[gstart], categories=categories),
+            "tf": tf.astype(np.int64),
+            "dfc": glen - succ,
+        }
+    )
+
+
 def tokenize_batch(
     texts: pd.Series,
     sizes: tuple[int, ...] = DEFAULT_INDEX_SIZES,

@@ -136,6 +136,80 @@ def test_full_search_redemption_sh(kernel_fields):
     assert res[0][0] == 1  # The Shawshank Redemption
 
 
+# ------------------------------------- vectorized batch fold parity
+
+
+def _scalar_fields_fold(fields_rows, widxs, sizes=(3,), start_pad=2):
+    """The original per-row reference fold (kernel building blocks),
+    kept as the oracle for the vectorized batch tokenizer."""
+    from infidex_spark.kernel.normalize import normalize
+    from infidex_spark.kernel.tokenize import index_tokens
+
+    out = {}
+    for r, vals in enumerate(fields_rows):
+        raw, bounds = field_boundaries(list(zip(vals, widxs)))
+        prepped = normalize(raw).lower()
+        acc = {}
+        for term, pos in index_tokens(prepped, sizes, start_pad):
+            w = field_weight_at(pos, bounds)
+            st = acc.get(term)
+            if st is None:
+                acc[term] = [min(round(w), 255), 1, 0]
+            else:
+                st[1] += 1
+                nw = st[0] + w
+                if nw <= 255.0:
+                    st[0] = round(nw)
+                    st[2] += 1
+        for t, (tf, occ, succ) in acc.items():
+            out[(r, t)] = (tf, occ - succ)
+    return out
+
+
+def test_vectorized_fields_fold_matches_scalar():
+    """tokenize_fields_batch is bit-identical to folding index_tokens
+    occurrences through Term.FirstCycleAdd one at a time — including
+    byte saturation, diacritics, astral chars, and long words."""
+    import random
+
+    import pandas as pd
+
+    from infidex_spark.build.tokenizer import tokenize_fields_batch
+    from infidex_spark.kernel.engine import FIELD_DELIM
+
+    random.seed(11)
+    vocab = [
+        "fox", "the", "quick", "zèbra", "a", "by", "shawshank",
+        "redemption", "x" * 250, "tk", "ab", "foo-bar", "don't",
+        "émigré", "😀ok", "wombat " * 120,
+    ]
+    for nf in (1, 2, 4):
+        rows = [
+            [" ".join(random.choices(vocab, k=random.randint(0, 10)))
+             for _ in range(nf)]
+            for _ in range(80)
+        ]
+        widxs = [random.choice([0, 1, 2, 5]) for _ in range(nf)]
+        exp = _scalar_fields_fold(rows, widxs)
+        bpos = np.zeros((len(rows), nf), dtype=np.int64)
+        for r, v in enumerate(rows):
+            p = 0
+            for j, val in enumerate(v):
+                bpos[r, j] = p
+                p += len(val) + 1
+        got_df = tokenize_fields_batch(
+            pd.Series([FIELD_DELIM.join(v) for v in rows]), bpos, widxs
+        )
+        got = {
+            (int(r), t): (int(tf), int(d))
+            for r, t, tf, d in zip(
+                got_df["doc_idx"], got_df["term"].astype(str),
+                got_df["tf"], got_df["dfc"],
+            )
+        }
+        assert got == exp, nf
+
+
 # ------------------------------------------------------- spark parity
 
 
