@@ -33,19 +33,28 @@ def exact_duplicates(
 ) -> DataFrame:
     """Groups of byte-identical texts: (text_hash, n_docs, keeper, doc_ids).
     keeper = min doc_id (deterministic survivor). doc_ids is capped at
-    max_ids per group so a pathological mega-duplicate (empty pages,
-    boilerplate) cannot blow up one aggregation row at corpus scale —
-    n_docs still reports the true count."""
-    return (
-        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+    max_ids per group BEFORE the list aggregation (window row_number over
+    doc_id), so a pathological mega-duplicate (empty pages, boilerplate)
+    never accumulates more than max_ids ids in any executor's agg buffer,
+    not just in the written row — n_docs still reports the true count."""
+    from pyspark.sql.window import Window
+
+    hashed = docs.select(
+        "doc_id", F.md5(F.col(text_col)).alias("text_hash")
+    )
+    stats = hashed.groupBy("text_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    capped_lists = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_ids)
         .groupBy("text_hash")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("keeper"),
-            F.slice(
-                F.sort_array(F.collect_list("doc_id")), 1, max_ids
-            ).alias("doc_ids"),
-        )
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+    )
+    return stats.join(capped_lists, "text_hash").select(
+        "text_hash", "n_docs", "keeper", "doc_ids"
     )
 
 

@@ -547,32 +547,55 @@ class IndexReader:
         path = os.path.join(self.index_dir, "word_variants")
         return ds.dataset(path) if os.path.isdir(path) else None
 
-    def words_with_prefix(self, prefix: str, limit: int) -> list[str] | None:
+    @staticmethod
+    def _scan_range_limited(
+        dataset, col: str, lo: str, limit: int, min_len: int = 0
+    ) -> list[str]:
+        """First `limit` values of a lex-sorted string column in [lo,
+        lo+MAXCHAR), streaming batches and stopping as soon as the limit
+        is met — the table is written by Spark orderBy (range-partitioned
+        sorted files in filename order), so a hot 1-2 char range never
+        fully materializes. min_len filters short values inside the scan
+        (the affix FST's len >= 3 rule) so they don't eat the budget."""
+        import pyarrow.compute as pc
+
+        hi = lo + chr(0x10FFFF)
+        scanner = dataset.scanner(
+            columns=[col], filter=(ds.field(col) >= lo) & (ds.field(col) < hi)
+        )
+        out: list[str] = []
+        for batch in scanner.to_batches():
+            if batch.num_rows == 0:
+                continue
+            arr = batch.column(0)
+            if min_len > 1:
+                arr = arr.filter(pc.greater_equal(pc.utf8_length(arr), min_len))
+            out.extend(arr.to_pylist())
+            if len(out) >= limit:
+                break
+        out.sort()  # defensive: cheap on <= limit+batch rows
+        return out[:limit]
+
+    def words_with_prefix(
+        self, prefix: str, limit: int, min_len: int = 0
+    ) -> list[str] | None:
         """Vocabulary words with the given prefix, lex order, capped.
         None when the words table is absent."""
         d = self._words_dataset()
         if d is None:
             return None
-        hi = prefix + chr(0x10FFFF)
-        tbl = d.to_table(
-            columns=["word"],
-            filter=(ds.field("word") >= prefix) & (ds.field("word") < hi),
-        )
-        return sorted(tbl["word"].to_pylist())[:limit]
+        return self._scan_range_limited(d, "word", prefix, limit, min_len)
 
-    def words_with_suffix(self, suffix: str, limit: int) -> list[str] | None:
+    def words_with_suffix(
+        self, suffix: str, limit: int, min_len: int = 0
+    ) -> list[str] | None:
         """Vocabulary words with the given suffix via the reversed-word
         table (reversed-lex order, matching the FST suffix walk)."""
         d = self._words_rev_dataset()
         if d is None:
             return None
-        rs = suffix[::-1]
-        hi = rs + chr(0x10FFFF)
-        tbl = d.to_table(
-            columns=["rword"],
-            filter=(ds.field("rword") >= rs) & (ds.field("rword") < hi),
-        )
-        return [w[::-1] for w in sorted(tbl["rword"].to_pylist())[:limit]]
+        got = self._scan_range_limited(d, "rword", suffix[::-1], limit, min_len)
+        return [w[::-1] for w in got]
 
     def word_variant_words(self, w: str) -> list[str] | None:
         """Vocabulary words within Levenshtein distance 1 of w via the
@@ -873,19 +896,23 @@ class MultiReader:
             out.update(r.terms_with_prefix(pattern, limit))
         return sorted(out)[:limit]
 
-    def words_with_prefix(self, prefix: str, limit: int) -> list[str] | None:
+    def words_with_prefix(
+        self, prefix: str, limit: int, min_len: int = 0
+    ) -> list[str] | None:
         out: set[str] = set()
         for r in self.readers:
-            got = r.words_with_prefix(prefix, limit)
+            got = r.words_with_prefix(prefix, limit, min_len)
             if got is None:
                 return None
             out.update(got)
         return sorted(out)[:limit]
 
-    def words_with_suffix(self, suffix: str, limit: int) -> list[str] | None:
+    def words_with_suffix(
+        self, suffix: str, limit: int, min_len: int = 0
+    ) -> list[str] | None:
         out: set[str] = set()
         for r in self.readers:
-            got = r.words_with_suffix(suffix, limit)
+            got = r.words_with_suffix(suffix, limit, min_len)
             if got is None:
                 return None
             out.update(got)

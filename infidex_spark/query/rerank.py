@@ -45,13 +45,17 @@ class DiskAffixVocab:
         got = self._cache.get(key)
         if got is None:
             budget = MAX_AFFIX_TERMS_PER_QUERY
-            pre = self.r.words_with_prefix(w, budget + 1) or []
-            pre = [x for x in pre if x != w and len(x) >= 3][:budget]
+            # min_len=3 runs INSIDE the scan (the in-memory AffixVocab
+            # filters short words at construction, before any slicing),
+            # so len<3 words sorting early in a range never eat budget
+            # and the disk path stays parity-equal at the boundary
+            pre = self.r.words_with_prefix(w, budget + 1, min_len=3) or []
+            pre = [x for x in pre if x != w][:budget]
             remaining = budget - len(pre)
             suf: list[str] = []
             if remaining > 0:
-                suf = self.r.words_with_suffix(w, remaining + 1) or []
-                suf = [x for x in suf if x != w and len(x) >= 3][:remaining]
+                suf = self.r.words_with_suffix(w, remaining + 1, min_len=3) or []
+                suf = [x for x in suf if x != w][:remaining]
             got = pre + suf
             if len(self._cache) >= 10_000:
                 self._cache.clear()
@@ -246,10 +250,13 @@ class RerankExecutor:
         if not union:
             return s1
         ids_by_key = self.r.ids_for_keys([d for d, _ in s1])
+        # a key survives if ANY of its internal ids (any segment of the
+        # doc) carries a query word — a re-ingested doc whose newer
+        # segment contains the word must not be dropped
         filtered = [
             (key, s)
             for key, s in s1
-            if ids_by_key.get(key, [None])[0] in union
+            if any(i in union for i in ids_by_key.get(key, ()))
         ]
         return filtered if filtered else s1
 

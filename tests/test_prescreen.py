@@ -61,6 +61,42 @@ def test_flag_off_is_default_and_prescreen_drops_fuzzy_tail(kidx):
     assert [k for k, _, _ in res_off] == [2, 1, 3]
 
 
+def test_executor_prescreen_reingested_delta_doc_survives(spark, tmp_path):
+    """A key re-ingested in a delta segment must survive the prescreen
+    when only its NEWER segment's text contains the query word — the
+    membership check covers every internal id of the key, not just the
+    lowest (representative) one."""
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import MultiReader
+    from infidex_spark.query.rerank import RerankExecutor
+    from infidex_spark.streaming.incremental import append_delta
+
+    out = str(tmp_path / "deltapres")
+    docs = spark.createDataFrame(
+        [(0, 1, "old text about gardens"), (1, 2, "shawshank prison drama")],
+        "doc_id long, doc_key long, text string",
+    )
+    build_index(spark, docs, out, n_buckets=4, salts=2)
+    # re-ingest key 1: the new segment's text now contains the word
+    append_delta(
+        spark,
+        spark.createDataFrame(
+            [(1, "shawshank redemption remake")], "doc_key long, text string"
+        ),
+        out,
+        batch_id=0,
+        n_buckets=4,
+        salts=2,
+    )
+    rr = RerankExecutor(
+        MultiReader(out), CoverageConfig(enable_lexical_prescreen=True)
+    )
+    s1 = rr.stage1.search("shawshank", 500)
+    assert 1 in {k for k, _ in s1}
+    filtered = rr._lexical_prescreen("shawshank", s1)
+    assert 1 in {k for k, _ in filtered}
+
+
 def test_executor_prescreen_matches_kernel(spark, tmp_path):
     from infidex_spark.build.indexer import build_index
     from infidex_spark.query.executor import IndexReader
