@@ -458,7 +458,15 @@ class KernelIndex:
         Documented delta: the title used for the prefix/precedence checks
         is the key's representative (lowest-id) document rather than each
         posting's own segment — identical on unsegmented corpora and
-        shared exactly by the Spark executor."""
+        shared exactly by the Spark executor.
+
+        Documented delta (stop terms): the reference FST keeps demoted
+        (df=-1) terms with whatever postings accumulated before demotion
+        — an ingestion-order-dependent partial set a distributed build
+        cannot reproduce. Here demoted terms are excluded from the
+        dictionary walk entirely (before the 4096 cap) and from the
+        fuzzy fallback, exactly matching the Spark executor, whose
+        term_dict/postings only contain live terms."""
         from bisect import bisect_left
 
         if self._sorted_terms is None:
@@ -480,13 +488,22 @@ class KernelIndex:
         for pat in patterns:
             lo = bisect_left(st_list, pat)
             hi = bisect_left(st_list, pat + hi_ch, lo)
-            for t in st_list[lo:hi][:MAX_FST_TERMS_PER_PREFIX]:
-                process_term(self.terms[t], 10)
+            taken = 0
+            for t in st_list[lo:hi]:
+                st = self.terms[t]
+                if st.df <= 0:
+                    continue  # demoted: not in the live dictionary
+                process_term(st, 10)
+                taken += 1
+                if taken >= MAX_FST_TERMS_PER_PREFIX:
+                    break
 
         if len(doc_scores) < 100:
             # fuzzy fallback: whole-dictionary scan for word-boundary /
             # contains character matches (ProcessFuzzyFallback)
             for t in st_list:
+                if self.terms[t].df <= 0:
+                    continue
                 if any(t.startswith(p) for p in patterns):
                     continue
                 has_wb = False

@@ -86,6 +86,41 @@ def test_executor_matches_kernel_exactly(spark, tmp_path, kidx):
             assert gs == pytest.approx(ks, rel=1e-6), (q, gk)
 
 
+def test_stop_demoted_terms_parity(spark, tmp_path):
+    """With a tiny stop_term_limit several grams cross it; demoted terms
+    must be excluded from the short-query dictionary walk identically in
+    the kernel and the executor (the reference's pre-demotion partial
+    postings are ingestion-order state a distributed build cannot
+    reproduce — documented delta in KernelIndex._search_short_query)."""
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+    limit = 3  # 'fo'-prefixed grams appear in far more than 3 docs
+    stop_docs = DOCS + [
+        (11, "fort fond ford"),
+        (12, "foam focus fog"),
+        (13, "folly fora form"),
+    ]
+    kidx = KernelIndex(stop_term_limit=limit)
+    kidx.index_documents(stop_docs)
+    assert any(
+        st.df == -1 for t, st in kidx.terms.items() if t.startswith("fo")
+    ), "expected at least one demoted fo-gram"
+    out = str(tmp_path / "sqstop")
+    docs = spark.createDataFrame(
+        [(i, key, text) for i, (key, text) in enumerate(stop_docs)],
+        "doc_id long, doc_key long, text string",
+    )
+    build_index(spark, docs, out, n_buckets=4, salts=2, stop_term_limit=limit)
+    ex = QueryExecutor(IndexReader(out))
+    for q in ["fo", "tw", "qx", "fo tw"]:
+        kern = kidx.search(q, 10)
+        got = ex.search(q, 10)
+        assert [k for k, _ in got] == [k for k, _ in kern], q
+        for (gk, gs), (kk, ks) in zip(got, kern):
+            assert gs == pytest.approx(ks, rel=1e-6), (q, gk)
+
+
 def test_fuzzy_fallback_fires_on_rare_chars(kidx):
     # 'zz' matches no prefix pattern term; the whole-dictionary fallback
     # must still surface docs containing the characters
