@@ -252,6 +252,90 @@ class TermPostings:
         return hit, tfv[hit]
 
 
+class CompositeTermPostings:
+    """One term merged across segments WITHOUT forcing decode: segment
+    doc-id ranges are disjoint and ascending (delta ids continue the
+    global space), so per-segment lazy TermPostings compose — block
+    metadata concatenates in order and lookup() fans out to each part,
+    which block-decodes only what its probes touch. A hot term on a
+    main+delta index therefore keeps the single-segment lazy-decode
+    behavior instead of paying a full decode at merge time."""
+
+    __slots__ = ("term", "df", "parts", "_doc_ids", "_tfs", "_bld", "_bmw")
+
+    def __init__(self, term: str, parts: list):
+        self.term = term
+        self.df = sum(p.df for p in parts)
+        self.parts = parts
+        self._doc_ids = None
+        self._tfs = None
+        self._bld = None
+        self._bmw = None
+
+    @property
+    def n_docs(self) -> int:
+        return sum(p.n_docs for p in self.parts)
+
+    @property
+    def block_last_doc(self) -> np.ndarray:
+        if self._bld is None:
+            # safe only when EVERY part carries block metadata: a gap
+            # would make WAND's "no postings at/after this chunk" skip
+            # lossy, so degrade to no-block-skip instead
+            if all(p.block_last_doc.size or p.n_docs == 0 for p in self.parts):
+                self._bld = np.concatenate(
+                    [p.block_last_doc for p in self.parts]
+                ) if self.parts else np.zeros(0, dtype=np.int64)
+            else:
+                self._bld = np.zeros(0, dtype=np.int64)
+        return self._bld
+
+    @property
+    def block_max_w(self) -> np.ndarray:
+        if self._bmw is None:
+            if self.block_last_doc.size:
+                self._bmw = np.concatenate([p.block_max_w for p in self.parts])
+            else:
+                self._bmw = np.zeros(0, dtype=np.int64)
+        return self._bmw
+
+    @property
+    def is_decoded(self) -> bool:
+        return self._doc_ids is not None
+
+    @property
+    def doc_ids(self) -> np.ndarray:
+        if self._doc_ids is None:
+            self._doc_ids = (
+                np.concatenate([p.doc_ids for p in self.parts])
+                if self.parts
+                else np.zeros(0, dtype=np.int64)
+            )
+        return self._doc_ids
+
+    @property
+    def tfs(self) -> np.ndarray:
+        if self._tfs is None:
+            self._tfs = (
+                np.concatenate([p.tfs for p in self.parts])
+                if self.parts
+                else np.zeros(0, dtype=np.float32)
+            )
+        return self._tfs
+
+    def lookup(self, docs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if docs.size == 0:
+            return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.float32)
+        hit = np.zeros(docs.size, dtype=bool)
+        tfv = np.zeros(docs.size, dtype=np.float32)
+        for p in self.parts:
+            h, tf = p.lookup(docs)
+            if h.any():
+                tfv[h] = tf
+                hit |= h
+        return hit, tfv[hit]
+
+
 class IndexReader:
     """Random access into the on-disk index."""
 
@@ -734,27 +818,18 @@ class MultiReader:
         self.tombstones = frozenset(load_tombstones(index_dir).tolist())
         self.synonym_map = r0.synonym_map
 
-    def fetch_terms(self, terms: list[str]) -> dict[str, TermPostings]:
-        merged: dict[str, TermPostings] = {}
+    def fetch_terms(self, terms: list[str]):
+        """Per-term merge across segments via CompositeTermPostings —
+        parts stay lazily encoded (no np.concatenate of decoded arrays),
+        so the lazy block decode survives segmentation."""
+        per: dict[str, list] = {}
         for r in self.readers:
             for term, tp in r.fetch_terms(terms).items():
-                prev = merged.get(term)
-                if prev is None:
-                    merged[term] = tp
-                else:
-                    merged[term] = TermPostings(
-                        term=term,
-                        df=prev.df + tp.df,
-                        doc_ids=np.concatenate([prev.doc_ids, tp.doc_ids]),
-                        tfs=np.concatenate([prev.tfs, tp.tfs]),
-                        block_last_doc=np.concatenate(
-                            [prev.block_last_doc, tp.block_last_doc]
-                        ),
-                        block_max_w=np.concatenate(
-                            [prev.block_max_w, tp.block_max_w]
-                        ),
-                    )
-        return merged
+                per.setdefault(term, []).append(tp)
+        return {
+            t: parts[0] if len(parts) == 1 else CompositeTermPostings(t, parts)
+            for t, parts in per.items()
+        }
 
     def fetch_prefix(self, prefix: str) -> tuple[int, np.ndarray | None]:
         total, parts = 0, []

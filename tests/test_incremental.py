@@ -65,6 +65,37 @@ def test_multi_segment_matches_single_kernel(incremental_index, query):
     assert [d for d, _ in got] == [d for d, _ in want], (query, got, want)
 
 
+def test_multireader_merge_preserves_lazy_decode(incremental_index):
+    """fetch_terms over main+delta returns a composite whose per-segment
+    parts stay ENCODED: a small lookup block-decodes only what it
+    touches instead of forcing a full decode at merge time, and the
+    composite's results equal the eagerly merged arrays."""
+    import numpy as np
+
+    mr = MultiReader(incremental_index)
+    # 'the' appears in both batches -> composite over two segments
+    tp = mr.fetch_terms(["the"])["the"]
+    from infidex_spark.query.executor import CompositeTermPostings
+
+    assert isinstance(tp, CompositeTermPostings)
+    assert all(not p.is_decoded for p in tp.parts), "parts decoded eagerly"
+    probe = np.array([0, 7], dtype=np.int64)  # one id per segment
+    hit, tf = tp.lookup(probe)
+    # the composite never concatenates at merge/lookup time (parts may
+    # still choose a full decode adaptively when probes touch most of
+    # their tiny block set — that is per-part policy, not merge cost)
+    assert tp._doc_ids is None, "lookup materialized the merged arrays"
+    # equivalence with the full decode
+    ids, tfs = tp.doc_ids, tp.tfs
+    assert np.all(np.diff(ids) > 0)  # disjoint ascending segment ranges
+    exp_hit = np.isin(probe, ids)
+    assert hit.tolist() == exp_hit.tolist()
+    pos = np.searchsorted(ids, probe[exp_hit])
+    assert tf.tolist() == tfs[pos].tolist()
+    assert tp.df == sum(p.df for p in tp.parts)
+    assert tp.block_last_doc.size == sum(p.block_last_doc.size for p in tp.parts)
+
+
 def test_tombstones_hide_docs(incremental_index):
     ex = QueryExecutor(MultiReader(incremental_index))
     assert ex.search("batman", 10)[0][0] == 6
