@@ -585,9 +585,10 @@ def build_index(
     if aux:
         # ---- LD1 symmetric-delete variants + sorted term dictionary
         # (B5/D10: lexicographic (term, df) parquet, the FST stand-in for
-        # prefix-range scans). Both read the final postings, independent
-        # of each other -> concurrent Spark jobs.
-        with ThreadPoolExecutor(max_workers=2) as aux_pool:
+        # prefix-range scans) + short-query pattern aggregates. All read
+        # the final postings, independent of each other -> concurrent
+        # Spark jobs.
+        with ThreadPoolExecutor(max_workers=3) as aux_pool:
             f_var = aux_pool.submit(
                 _build_variants, spark, os.path.join(out_dir, "postings"), out_dir
             )
@@ -598,8 +599,12 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, "term_dict"))
             )
+            f_ps = aux_pool.submit(
+                _build_pattern_scores, spark, postings_path, out_dir
+            )
             f_var.result()
             f_td.result()
+            f_ps.result()
         _mark("variants")
 
     if tokens_storage == "memory":
@@ -674,7 +679,7 @@ def _build_wm_words(
             if synonym_map is not None and synonym_map.has_mappings:
                 texts = synonym_map.canonicalize_series(texts)
             words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-            words = words[words.str.len() >= 2]
+            words = words[words.str.len() >= 1]
             if not len(words):
                 continue
             ids = pdf["doc_id"].to_numpy()
@@ -686,9 +691,18 @@ def _build_wm_words(
             ).drop_duplicates()
             yield frame
 
-    pairs = docs.select("doc_id", "text").mapInPandas(
-        extract, "doc_id long, word string"
+    from pyspark import StorageLevel
+
+    all_pairs = (
+        docs.select("doc_id", "text")
+        .mapInPandas(extract, "doc_id long, word string")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    pairs = all_pairs.filter(F.length("word") >= 2)
+    # len-1 words feed the short-query precedence fast path (sq_words1):
+    # the reference WordMatcher never indexes them, so they live in a
+    # separate tiny table instead of wm_words
+    sq1 = all_pairs.filter(F.length("word") == 1)
     # same physical shape as the postings build: one shuffle on the word
     # bucket, a spillable sort, and a streaming group collector — no
     # collect_set/array_sort agg buffers (hot words would make those the
@@ -753,6 +767,23 @@ def _build_wm_words(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "wm_words"))
     )
+    # sq_words1: word (len == 1) -> sorted doc ids, alphabet-sized table
+    # (same streaming collector, few buckets)
+    (
+        sq1.withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode("word", "utf-8")), F.lit(4)).cast("int"),
+        )
+        .repartition(4, "bucket")
+        .sortWithinPartitions("word", "doc_id")
+        .mapInPandas(
+            collect, "word string, doc_ids array<long>, n_docs long, bucket int"
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "sq_words1"))
+    )
+    all_pairs.unpersist()
 
 
 def _build_word_tables(docs: DataFrame, out_dir: str, synonym_map=None) -> None:
@@ -898,7 +929,8 @@ def _build_prefixes(
         docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema).persist()
     )
 
-    # ---- doc metadata cache (B8): n_tokens + tiny normalized text
+    # ---- doc metadata cache (B8): n_tokens + tiny normalized text, all
+    # .str-vectorized (no per-row lambdas)
     def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from infidex_spark.kernel.normalize import normalize_series
         from infidex_spark.build.tokenizer import _DELIM_SPLIT
@@ -907,29 +939,37 @@ def _build_prefixes(
             texts = normalize_series(pdf["text"].fillna("")).str.lower()
             if synonym_map is not None and synonym_map.has_mappings:
                 texts = synonym_map.canonicalize_series(texts)
-            words = texts.str.split(_DELIM_SPLIT, regex=True)
-            n_tokens = words.map(lambda ws: sum(1 for w in ws if w))
             stripped = texts.str.strip()
             # space-joined word stream with sentinel spaces: turns the
             # short-query word-boundary checks into plain substring
-            # searches (' q ' in words_text == q in word_tokens(text))
-            words_text = words.map(
-                lambda ws: " " + " ".join(w for w in ws if w) + " "
-                if any(ws) else " "
-            )
+            # searches (' q ' in words_text == q in word_tokens(text)).
+            # Vectorized: collapse delimiter runs to single spaces, strip,
+            # re-wrap with sentinels.
+            joined = texts.str.replace(_DELIM_SPLIT, " ", regex=True).str.strip()
+            words_text = (" " + joined + " ").where(joined != "", " ")
+            n_tokens = words_text.str.count(" ").astype("int64") - 1
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_tokens": n_tokens.astype("int64"),
+                    "n_tokens": n_tokens,
                     "tiny_text": stripped.where(stripped.str.len() <= 3),
                     # prepped text retained for the coverage rerank (the
                     # reference likewise keeps IndexedText in memory)
                     "text": texts,
                     "words_text": words_text,
+                    # short-query precedence columns (D10 fast path):
+                    # raw prepped prefix + first word's 3-char prefix —
+                    # equality against a <=2-char query reproduces
+                    # startswith / first-word-exact exactly
+                    "first3": texts.str[:3],
+                    "first_word3": joined.str.extract(r"^([^ ]{0,3})", expand=False).fillna(""),
                 }
             )
 
-    meta_schema = "doc_id long, n_tokens long, tiny_text string, text string, words_text string"
+    meta_schema = (
+        "doc_id long, n_tokens long, tiny_text string, text string, "
+        "words_text string, first3 string, first_word3 string"
+    )
     doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
     doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
     doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
@@ -1010,6 +1050,152 @@ def _symmetric_delete_table(terms: DataFrame, out_path: str) -> None:
     vdf = terms.mapInPandas(variants, schema=schema).distinct()
     out = vdf.groupBy("variant").agg(F.collect_list("term").alias("terms"))
     out.write.mode("overwrite").parquet(out_path)
+
+
+def _build_pattern_scores(
+    spark: SparkSession,
+    postings_path: str,
+    out_dir: str,
+    cap_terms: int = 4096,
+    cap_docs: int = 5_000_000,
+) -> None:
+    """Short-query pattern aggregates (D10 fast path): for every 2- and
+    3-char prefix `pattern` of the live dictionary, the per-doc sum of
+    byte tfs over the lexicographically FIRST cap_terms(=4096, the FST
+    cap) terms with that prefix — exactly the contribution
+    SearchShortQuery accumulates per pattern, precomputed so a short
+    query is a handful of point fetches instead of fetching and decoding
+    up to 4*4096 term rows per evaluation. Built FROM the encoded
+    postings (no second pass over raw tokens): rank terms within prefix,
+    decode+fan out each term row to (pattern, doc, w), then one shuffle
+    on the pattern bucket into a spillable sort feeding a streaming
+    fold-and-collect (duplicate docs within a pattern sum in-stream; no
+    per-key agg buffers). Patterns with more than cap_docs matched docs
+    store their count but withhold the arrays (row-size bound at extreme
+    corpus sizes); the reader falls back to live expansion for those."""
+    from pyspark.sql.window import Window
+
+    posts = spark.read.parquet(postings_path)
+    pats = None
+    for plen in (2, 3):
+        p = (
+            posts.select("term")
+            .filter(F.length("term") >= plen)
+            .withColumn("pattern", F.substring("term", 1, plen))
+        )
+        w = Window.partitionBy("pattern").orderBy("term")
+        p = (
+            p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= cap_terms)
+            .select("term", "pattern")
+        )
+        pats = p if pats is None else pats.unionByName(p)
+    joined = posts.select("term", "payload", "weights", "n_docs").join(pats, "term")
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.build.codec import decode_postings
+
+        for pdf in batches:
+            frames = []
+            for pat, payload, weights, n in zip(
+                pdf["pattern"], pdf["payload"], pdf["weights"], pdf["n_docs"]
+            ):
+                ids, wts = decode_postings(payload, weights, int(n))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "pattern": pat,
+                            "doc_id": ids,
+                            "w": wts.astype(np.int64),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pairs = joined.mapInPandas(explode, "pattern string, doc_id long, w long")
+    n_buckets = 16
+    bucketed = pairs.withColumn(
+        "bucket",
+        F.pmod(F.crc32(F.encode("pattern", "utf-8")), F.lit(n_buckets)).cast("int"),
+    )
+
+    def collect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend_pat: str | None = None
+        pend_bucket = 0
+        pend_ids: list[np.ndarray] = []
+        pend_w: list[np.ndarray] = []
+
+        def emit(pats_, buckets, id_lists, w_lists) -> pd.DataFrame:
+            out_ids, out_w, out_n = [], [], []
+            for ids, wv in zip(id_lists, w_lists):
+                u, idx = np.unique(ids, return_index=True)
+                # rows arrive sorted by doc_id, so reduceat over the
+                # first-occurrence offsets sums each doc's duplicates
+                sums = np.add.reduceat(wv, idx)
+                out_n.append(u.size)
+                if u.size > cap_docs:
+                    out_ids.append([])
+                    out_w.append([])
+                else:
+                    out_ids.append(u.tolist())
+                    out_w.append(sums.tolist())
+            return pd.DataFrame(
+                {
+                    "pattern": pats_,
+                    "doc_ids": out_ids,
+                    "scores": out_w,
+                    "n_docs": np.asarray(out_n, dtype=np.int64),
+                    "bucket": np.asarray(buckets, dtype=np.int32),
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pats_ = pdf["pattern"].to_numpy()
+            ids = pdf["doc_id"].to_numpy()
+            wv = pdf["w"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            change = np.empty(len(pats_), dtype=bool)
+            change[0] = True
+            change[1:] = pats_[1:] != pats_[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pats_))
+            out_p, out_b, out_i, out_w = [], [], [], []
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                pat = pats_[s]
+                if pend_pat is not None and pat == pend_pat:
+                    pend_ids.append(ids[s:e])
+                    pend_w.append(wv[s:e])
+                    continue
+                if pend_pat is not None:
+                    out_p.append(pend_pat)
+                    out_b.append(pend_bucket)
+                    out_i.append(np.concatenate(pend_ids))
+                    out_w.append(np.concatenate(pend_w))
+                pend_pat, pend_bucket = pat, int(buckets[s])
+                pend_ids, pend_w = [ids[s:e]], [wv[s:e]]
+            if out_p:
+                yield emit(out_p, out_b, out_i, out_w)
+        if pend_pat is not None:
+            yield emit(
+                [pend_pat], [pend_bucket],
+                [np.concatenate(pend_ids)], [np.concatenate(pend_w)],
+            )
+
+    (
+        bucketed.repartition(n_buckets, "bucket")
+        .sortWithinPartitions("pattern", "doc_id")
+        .mapInPandas(
+            collect,
+            "pattern string, doc_ids array<long>, scores array<long>, "
+            "n_docs long, bucket int",
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "pattern_scores"))
+    )
 
 
 def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> None:

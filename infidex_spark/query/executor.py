@@ -375,6 +375,17 @@ class IndexReader:
         self._wm_words = (
             ds.dataset(wm, partitioning="hive") if os.path.isdir(wm) else None
         )
+        ps = os.path.join(index_dir, "pattern_scores")
+        self._ps_buckets = 16  # matches _build_pattern_scores
+        self._pattern_scores = (
+            ds.dataset(ps, partitioning="hive") if os.path.isdir(ps) else None
+        )
+        sq1 = os.path.join(index_dir, "sq_words1")
+        self._sq1_buckets = 4  # matches _build_wm_words (sq_words1 write)
+        self._sq_words1 = (
+            ds.dataset(sq1, partitioning="hive") if os.path.isdir(sq1) else None
+        )
+        self._sq_meta: dict | None = None  # lazy short-query meta cache
         self._all_terms: list[str] | None = None  # lazy fallback dictionary
         # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
         # memory so the candidate selector only touches disk for the rare
@@ -722,6 +733,82 @@ class IndexReader:
             )
         return out
 
+    def pattern_scores(self, pattern: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Precomputed SearchShortQuery pattern aggregate: (sorted internal
+        doc ids, per-doc summed byte tfs over the pattern's lex-first 4096
+        live terms). None when the table is absent, the pattern length is
+        outside the stored 2-3 range, or the row withheld its arrays
+        (n_docs above the build's cap) — callers fall back to live
+        expansion. A missing row means NO live term has the prefix, i.e.
+        a genuinely empty contribution."""
+        if self._pattern_scores is None or len(pattern) not in (2, 3):
+            return None
+        if "pattern" not in self._pattern_scores.schema.names:  # empty write
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        b = term_bucket(pattern, self._ps_buckets)
+        tbl = self._pattern_scores.to_table(
+            columns=["doc_ids", "scores", "n_docs"],
+            filter=(ds.field("bucket") == b) & (ds.field("pattern") == pattern),
+        )
+        if tbl.num_rows == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        ids = np.asarray(tbl["doc_ids"][0].as_py(), dtype=np.int64)
+        if int(tbl["n_docs"][0].as_py()) > ids.size:
+            return None  # withheld (cap_docs exceeded at build)
+        return ids, np.asarray(tbl["scores"][0].as_py(), dtype=np.int64)
+
+    def sq1_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
+        """Single-char word postings (short-query precedence): word ->
+        sorted internal doc ids."""
+        if self._sq_words1 is None or not words:
+            return {}
+        if "word" not in self._sq_words1.schema.names:  # empty write: no
+            return {}  # 1-char word exists in the corpus
+        buckets = sorted({term_bucket(w, self._sq1_buckets) for w in words})
+        tbl = self._sq_words1.to_table(
+            columns=["word", "doc_ids"],
+            filter=ds.field("bucket").isin(buckets) & ds.field("word").isin(words),
+        )
+        return {
+            tbl["word"][i].as_py(): np.asarray(
+                tbl["doc_ids"][i].as_py(), dtype=np.int64
+            )
+            for i in range(tbl.num_rows)
+        }
+
+    SQ_META_CACHE_LIMIT = 20_000_000
+
+    def sq_meta(self) -> dict | None:
+        """In-memory short-query precedence columns (doc-id-sorted numpy
+        arrays: n_tokens int64, tiny/first3/first_word3 '<U3') — loaded
+        once from doc_meta. None when the columns are absent (legacy
+        index) or the corpus exceeds the cache cap; callers then use the
+        per-candidate doc_meta point-fetch path."""
+        if self._sq_meta is not None:
+            return self._sq_meta or None
+        if self._doc_meta is None or self.total_docs > self.SQ_META_CACHE_LIMIT:
+            self._sq_meta = {}
+            return None
+        names = self._doc_meta.schema.names
+        if "first3" not in names or "first_word3" not in names:
+            self._sq_meta = {}
+            return None
+        tbl = self._doc_meta.to_table(
+            columns=["doc_id", "n_tokens", "tiny_text", "first3", "first_word3"]
+        )
+        ids = tbl["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        tiny = tbl["tiny_text"].to_pandas().fillna("\x00").to_numpy(dtype="<U3")
+        self._sq_meta = {
+            "ids": ids[order],
+            "n_tokens": tbl["n_tokens"].to_numpy()[order],
+            # NUL sentinel for null tiny_text: never equals a real query
+            "tiny": tiny[order],
+            "first3": tbl["first3"].to_pandas().fillna("").to_numpy(dtype="<U3")[order],
+            "first_word3": tbl["first_word3"].to_pandas().fillna("").to_numpy(dtype="<U3")[order],
+        }
+        return self._sq_meta
+
     def doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
         """Prepped text per internal doc id (point fetch on doc_meta)."""
         if self._doc_meta is None or not doc_ids:
@@ -922,6 +1009,32 @@ class MultiReader:
             w: np.sort(np.concatenate(parts)) for w, parts in out.items()
         }
 
+    def sq1_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
+        out: dict[str, list[np.ndarray]] = {}
+        for r in self.readers:
+            for w, ids in r.sq1_word_docs(words).items():
+                out.setdefault(w, []).append(ids)
+        return {
+            w: np.sort(np.concatenate(parts)) for w, parts in out.items()
+        }
+
+    def pattern_scores(self, pattern: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Per-segment aggregates concatenate (doc-id spaces disjoint and
+        ascending); conservative None when any segment lacks the table."""
+        ids_l, sc_l = [], []
+        for r in self.readers:
+            got = r.pattern_scores(pattern)
+            if got is None:
+                return None
+            ids_l.append(got[0])
+            sc_l.append(got[1])
+        return np.concatenate(ids_l), np.concatenate(sc_l)
+
+    def sq_meta(self) -> dict | None:
+        # per-candidate doc_meta point fetches remain the multi-segment
+        # precedence path (segment caches would need id-space stitching)
+        return None
+
     @property
     def _wm_words(self):
         # rerank capability probe: present iff every segment has the table
@@ -1033,6 +1146,7 @@ class QueryExecutor:
         # pure function of the immutable reader state — the reference
         # precomputes champion lists for the same reason
         self._short_cache: dict[tuple[str, int], list] = {}
+        self._terms_ser: tuple | None = None  # fuzzy-fallback term Series
 
     def search(
         self, query: str, k: int = 10, use_wand: bool = True
@@ -1152,77 +1266,82 @@ class QueryExecutor:
 
     def _search_short_query(self, q: str, k: int) -> list[tuple[int, float]]:
         """D10 multi-char non-ngram queries — executor port of
-        ShortQueryProcessor.SearchShortQuery, mirroring the kernel's
-        _search_short_query exactly (same pattern expansion over the
-        sorted term_dict, same 4096-per-pattern cap, same fuzzy fallback
-        and precedence scoring; title checks use the key's representative
-        lowest-id document)."""
+        ShortQueryProcessor.SearchShortQuery, bit-identical to the
+        kernel's _search_short_query (same pattern expansion under the
+        4096-per-pattern cap, same fuzzy fallback and precedence
+        scoring; title checks use the key's representative lowest-id
+        document). Two interchangeable data paths per stage, both
+        parity-tested equal:
+
+        - pattern contributions come from the precomputed pattern_scores
+          aggregates (a point fetch per pattern) when the table exists,
+          else from live term_dict expansion + postings decode;
+        - precedence bits come from the in-memory sq_meta columns +
+          wm/sq1 word postings (pure numpy) when available, else from
+          doc_meta point fetches over the representative docs."""
         from infidex_spark.kernel.engine import (
             MAX_FST_TERMS_PER_PREFIX,
             build_prefix_patterns,
         )
 
-        import pandas as pd
-
         r = self.r
         patterns = build_prefix_patterns(q, r.sizes[0], r.start_pad)
-        expanded: list[tuple[str, int]] = []  # (term, multiplier)
+        ids_l: list[np.ndarray] = []
+        w_l: list[np.ndarray] = []
+
+        get_ps = getattr(r, "pattern_scores", None)
+        live_pats: list[str] = []
         for pat in patterns:
-            for t in r.terms_with_prefix(pat, MAX_FST_TERMS_PER_PREFIX):
-                expanded.append((t, 10))
-
-        fetched = r.fetch_terms([t for t, _ in expanded])
-
-        def gather(pairs):
-            ids_l, keys_l, w_l = [], [], []
-            for term, mult in pairs:
-                tp = fetched.get(term)
+            got = get_ps(pat) if get_ps is not None else None
+            if got is None:
+                live_pats.append(pat)
+            elif got[0].size:
+                ids_l.append(got[0])
+                w_l.append(got[1].astype(np.float64) * 10.0)
+        if live_pats:
+            expanded: list[str] = []
+            for pat in live_pats:
+                expanded.extend(r.terms_with_prefix(pat, MAX_FST_TERMS_PER_PREFIX))
+            fetched = r.fetch_terms(expanded)
+            for t in expanded:
+                tp = fetched.get(t)
                 if tp is None or tp.df <= 0 or tp.n_docs == 0:
                     continue
-                ids = tp.doc_ids
-                _, keys = r.doc_lengths(ids)
-                ids_l.append(ids)
-                keys_l.append(keys)
-                w_l.append(tp.tfs.astype(np.float64) * mult)
-            return ids_l, keys_l, w_l
+                ids_l.append(tp.doc_ids)
+                w_l.append(tp.tfs.astype(np.float64) * 10.0)
 
-        ids_l, keys_l, w_l = gather(expanded)
-        n_matched = (
-            np.unique(np.concatenate(keys_l)).size if keys_l else 0
-        )
+        def aggregate():
+            if not ids_l:
+                z = np.zeros(0, dtype=np.int64)
+                return z, np.zeros(0, dtype=np.float64), z
+            ids_cat = np.concatenate(ids_l)
+            w_cat = np.concatenate(w_l)
+            uids, inv = np.unique(ids_cat, return_inverse=True)
+            # int-valued weight sums (exact: ints < 2^53 in float64)
+            iscores = np.bincount(inv, weights=w_cat, minlength=uids.size)
+            _, keys = r.doc_lengths(uids)
+            return uids, iscores, keys
+
+        uids, iscores, ukeys = aggregate()
+        n_matched = np.unique(ukeys).size if ukeys.size else 0
         if n_matched < 100:
-            all_terms = r.sorted_terms()
-            if all_terms is not None:
-                fuzzy: list[tuple[str, int]] = []
-                for t in all_terms:
-                    if any(t.startswith(p) for p in patterns):
+            fuzzy = self._short_fuzzy_terms(q, patterns)
+            if fuzzy:
+                f_fetched = r.fetch_terms([t for t, _ in fuzzy])
+                for t, mult in fuzzy:
+                    tp = f_fetched.get(t)
+                    if tp is None or tp.df <= 0 or tp.n_docs == 0:
                         continue
-                    has_wb = False
-                    cnt = 0
-                    for ch in q:
-                        if (" " + ch) in t:
-                            has_wb = True
-                            cnt += 1
-                        elif ch in t:
-                            cnt += 1
-                    if has_wb or cnt > 0:
-                        fuzzy.append((t, 2 if has_wb else 1))
-                fetched.update(r.fetch_terms([t for t, _ in fuzzy]))
-                i2, k2, w2 = gather(fuzzy)
-                ids_l += i2
-                keys_l += k2
-                w_l += w2
+                    ids_l.append(tp.doc_ids)
+                    w_l.append(tp.tfs.astype(np.float64) * mult)
+                uids, iscores, ukeys = aggregate()
 
-        if not keys_l:
+        if uids.size == 0:
             return []
-        ids_cat = np.concatenate(ids_l)
-        keys_cat = np.concatenate(keys_l)
-        w_cat = np.concatenate(w_l)
-        uk, inv = np.unique(keys_cat, return_inverse=True)
-        # int-valued weight sums (exact: ints < 2^53 in float64)
-        scores = np.bincount(inv, weights=w_cat)
+        uk, kinv = np.unique(ukeys, return_inverse=True)
+        scores = np.bincount(kinv, weights=iscores, minlength=uk.size)
         rep = np.full(uk.size, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(rep, inv, ids_cat)
+        np.minimum.at(rep, kinv, uids)
 
         tomb = getattr(r, "tombstones", frozenset())
         if tomb:
@@ -1231,18 +1350,130 @@ class QueryExecutor:
             if uk.size == 0:
                 return []
         max_score = float(scores.max())
+        prec = self._short_precedence(q, rep)
+        norm = scores / max_score if max_score > 0 else scores / 255.0
+        finals = (prec + norm).astype(np.float32)
+        order = np.lexsort((uk, -finals))[:k]
+        return [(int(uk[i]), float(finals[i])) for i in order]
+
+    def _short_fuzzy_terms(self, q: str, patterns: list[str]):
+        """Vectorized ProcessFuzzyFallback term scan: (term, mult) for
+        every live dictionary term containing any query char (mult 2
+        when a char matches at a word boundary), excluding
+        pattern-prefixed terms — pandas C string ops over a cached term
+        Series instead of a per-term Python loop."""
+        all_terms = self.r.sorted_terms()
+        if all_terms is None:
+            return None
+        import pandas as pd
+
+        cached = getattr(self, "_terms_ser", None)
+        if cached is None or cached[0] is not all_terms:
+            ser = pd.Series(all_terms)
+            self._terms_ser = (all_terms, ser)
+        else:
+            ser = cached[1]
+        n = len(ser)
+        mask_any = np.zeros(n, dtype=bool)
+        wb = np.zeros(n, dtype=bool)
+        for ch in dict.fromkeys(q):
+            mask_any |= ser.str.contains(ch, regex=False).to_numpy()
+            wb |= ser.str.contains(" " + ch, regex=False).to_numpy()
+        excl = np.zeros(n, dtype=bool)
+        for pat in patterns:
+            excl |= ser.str.startswith(pat).to_numpy()
+        sel = mask_any & ~excl
+        if not sel.any():
+            return []
+        mult = np.where(wb[sel], 2.0, 1.0)
+        return list(zip(ser[sel].tolist(), mult.tolist()))
+
+    def _short_word_docs(self, tokens: list[str]) -> dict | None:
+        """Internal doc-id lists per query token for the fast precedence
+        path (sq_words1 for 1-char, wm_words for >= 2-char words). None
+        when either table is absent or a list may be truncated (build
+        cap reached) — callers then use the doc_meta point-fetch path."""
+        r = self.r
+        t1 = sorted({t for t in tokens if len(t) == 1})
+        t2 = sorted({t for t in tokens if len(t) >= 2})
+        out: dict[str, np.ndarray] = {}
+        if t1:
+            if getattr(r, "_sq_words1", None) is None:
+                return None
+            got = r.sq1_word_docs(t1)
+            for t in t1:
+                out[t] = got.get(t, np.zeros(0, dtype=np.int64))
+        if t2:
+            if getattr(r, "_wm_words", None) is None:
+                return None
+            got = r.wm_word_docs(t2)
+            for t in t2:
+                out[t] = got.get(t, np.zeros(0, dtype=np.int64))
+        cap = getattr(r, "stop_term_limit", 1 << 60)
+        if any(v.size >= cap for v in out.values()):
+            return None
+        return out
+
+    def _short_precedence(self, q: str, rep: np.ndarray) -> np.ndarray:
+        """ComputePrecedence over the representative docs. Fast path:
+        pure numpy over the in-memory sq_meta columns + word postings
+        (no per-query doc_meta fetch); falls back to the doc_meta
+        point-fetch pandas path bit-identically."""
+        import pandas as pd
+
+        from infidex_spark.kernel.tokenize import DELIMITERS, word_tokens
+
+        r = self.r
+        qtokens = word_tokens(q, min_size=1)
+        meta = r.sq_meta() if hasattr(r, "sq_meta") else None
+        fast = meta is not None
+        if fast and len(qtokens) < 2 and len(q) > 3:
+            # first3/tiny are 3-char columns: they cannot answer
+            # startswith/equals for longer single-token queries
+            fast = False
+        q_is_word = not any(c in DELIMITERS for c in q)
+        word_docs = None
+        if fast:
+            need = qtokens if len(qtokens) >= 2 else ([q] if q_is_word else [])
+            if need:
+                word_docs = self._short_word_docs(need)
+                if word_docs is None:
+                    fast = False
+        if fast:
+            pos = np.searchsorted(meta["ids"], rep)
+            pos_c = np.clip(pos, 0, meta["ids"].size - 1)
+            if meta["ids"].size == 0 or not np.array_equal(meta["ids"][pos_c], rep):
+                fast = False  # rep doc missing from the cache: stay exact
+            else:
+                pos = pos_c
+        if fast:
+            if len(qtokens) >= 2:
+                n_match = np.zeros(rep.size, dtype=np.int64)
+                for t in qtokens:
+                    n_match += np.isin(rep, word_docs[t])
+                all_present = n_match == len(qtokens)
+                n_words = meta["n_tokens"][pos]
+                return np.where(
+                    all_present,
+                    8 | np.where(n_words <= len(qtokens) + 1, 2, 0),
+                    np.where(n_match > 0, 4, 0),
+                ).astype(np.int64)
+            prec = np.zeros(rep.size, dtype=np.int64)
+            if q_is_word:
+                any_exact = np.isin(rep, word_docs[q])
+                first_exact = meta["first_word3"][pos] == q
+                prec += any_exact * 1 + first_exact * 4
+            prec += np.char.startswith(meta["first3"][pos], q) * 2
+            prec += (meta["tiny"][pos] == q) * 8
+            return prec
         texts_map, wtexts_map = r.doc_title_rows(sorted(set(rep.tolist())))
         rep_list = rep.tolist()
         titles = pd.Series([texts_map.get(int(i), "") for i in rep_list])
         if wtexts_map is not None:
             wtexts = pd.Series([wtexts_map.get(int(i), " ") for i in rep_list])
-            prec = _short_query_precedence_wtext(titles, wtexts, q)
-        else:  # legacy index without words_text: regex word boundaries
-            prec = _short_query_precedence_vector(titles, q)
-        norm = scores / max_score if max_score > 0 else scores / 255.0
-        finals = (prec + norm).astype(np.float32)
-        order = np.lexsort((uk, -finals))[:k]
-        return [(int(uk[i]), float(finals[i])) for i in order]
+            return _short_query_precedence_wtext(titles, wtexts, q)
+        # legacy index without words_text: regex word boundaries
+        return _short_query_precedence_vector(titles, q)
 
     def _short_query(self, q: str, k: int) -> list[tuple[int, float]]:
         """1-3 char queries: positional-prefix resolution (D10) with the

@@ -86,6 +86,31 @@ def test_executor_matches_kernel_exactly(spark, tmp_path, kidx):
             assert gs == pytest.approx(ks, rel=1e-6), (q, gk)
 
 
+def test_fast_and_legacy_short_paths_identical(spark, tmp_path):
+    """The precomputed fast path (pattern_scores aggregates + sq_meta /
+    word-postings precedence) must be BIT-identical to the live path
+    (term_dict expansion + doc_meta point fetches) on every query shape:
+    pure 2-char, multi-word, fuzzy-fallback-only."""
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+    out = str(tmp_path / "sqfast")
+    docs = spark.createDataFrame(
+        [(i, key, text) for i, (key, text) in enumerate(DOCS)],
+        "doc_id long, doc_key long, text string",
+    )
+    build_index(spark, docs, out, n_buckets=4, salts=2)
+    fast = QueryExecutor(IndexReader(out))
+    legacy_r = IndexReader(out)
+    legacy_r._pattern_scores = None  # disable precomputed aggregates
+    legacy_r._sq_words1 = None  # disable fast precedence
+    legacy_r._sq_meta = {}  # sq_meta() -> None
+    legacy = QueryExecutor(legacy_r)
+    assert IndexReader(out)._pattern_scores is not None, "table not built"
+    for q in QUERIES + ["f.", "o f"]:
+        assert fast.search(q, 10) == legacy.search(q, 10), q
+
+
 def test_stop_demoted_terms_parity(spark, tmp_path):
     """With a tiny stop_term_limit several grams cross it; demoted terms
     must be excluded from the short-query dictionary walk identically in
