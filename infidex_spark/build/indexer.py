@@ -293,6 +293,7 @@ def build_index(
     synonym_map=None,
     fields: list[tuple[str, int]] | None = None,
     html_col: str | None = None,
+    short_precompute: bool | None = None,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
 
@@ -314,6 +315,12 @@ def build_index(
     for resume and for very large inputs), "memory" uses a persisted
     DataFrame (MEMORY_AND_DISK — fewer write/read round-trips), "auto"
     picks parquet when resume/bucket_groups>1, else memory.
+
+    short_precompute: build the pattern_scores short-query aggregates
+    (one extra postings-sized pass). None (default) enables it only at
+    >= 100k docs — below that the live short-query path is already
+    sub-100ms and the extra build pass isn't worth its wall-clock; the
+    query path degrades gracefully either way.
     """
     t0 = time.time()
     step_secs: dict[str, float] = {}
@@ -588,6 +595,11 @@ def build_index(
         # prefix-range scans) + short-query pattern aggregates. All read
         # the final postings, independent of each other -> concurrent
         # Spark jobs.
+        do_ps = (
+            short_precompute
+            if short_precompute is not None
+            else n_docs_total >= 100_000
+        )
         with ThreadPoolExecutor(max_workers=3) as aux_pool:
             f_var = aux_pool.submit(
                 _build_variants, spark, os.path.join(out_dir, "postings"), out_dir
@@ -599,12 +611,17 @@ def build_index(
                 .write.mode("overwrite")
                 .parquet(os.path.join(out_dir, "term_dict"))
             )
-            f_ps = aux_pool.submit(
-                _build_pattern_scores, spark, postings_path, out_dir
+            f_ps = (
+                aux_pool.submit(
+                    _build_pattern_scores, spark, postings_path, out_dir
+                )
+                if do_ps
+                else None
             )
             f_var.result()
             f_td.result()
-            f_ps.result()
+            if f_ps is not None:
+                f_ps.result()
         _mark("variants")
 
     if tokens_storage == "memory":
@@ -973,6 +990,7 @@ def _build_prefixes(
     doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
     doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
     doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+    _write_doc_store(out_dir)
 
     # ---- counts + capped positional rows
     counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
@@ -1022,6 +1040,31 @@ def _build_prefixes(
     )
     champions.write.mode("overwrite").parquet(os.path.join(out_dir, "champions"))
     pairs.unpersist()
+
+
+DOC_STORE_CAP = 20_000_000  # rows; above this, query nodes use the
+# parquet point-fetch path (a real deployment at that scale serves doc
+# text from a distributed store, not a single mmap file)
+
+
+def _write_doc_store(out_dir: str) -> None:
+    """Uncompressed Arrow IPC file (doc_id-sorted) next to doc_meta: the
+    query node memory-maps it and random-accesses candidate texts with
+    .take() — the columnar analogue of the reference's mmap'd
+    IndexedText segments (point parquet fetches re-scan row groups; the
+    rerank's ~500-candidate text fetch was its largest cold cost)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta_path = os.path.join(out_dir, "doc_meta")
+    tbl = pq.read_table(meta_path, columns=["doc_id", "text"])
+    if tbl.num_rows > DOC_STORE_CAP:
+        return
+    order = pa.compute.sort_indices(tbl["doc_id"])
+    tbl = tbl.take(order).combine_chunks()
+    with pa.OSFile(os.path.join(out_dir, "doc_store.arrow"), "wb") as sink:
+        with pa.ipc.new_file(sink, tbl.schema) as writer:
+            writer.write_table(tbl)
 
 
 def _symmetric_delete_table(terms: DataFrame, out_path: str) -> None:
@@ -1196,6 +1239,45 @@ def _build_pattern_scores(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "pattern_scores"))
     )
+    _write_pattern_store(out_dir)
+
+
+PATTERN_STORE_CAP = 600_000_000  # total (pattern, doc) pairs
+
+
+def _write_pattern_store(out_dir: str) -> None:
+    """Pattern-sorted Arrow IPC sidecar for pattern_scores: the query
+    node memory-maps it and answers a pattern probe with one
+    searchsorted + a zero-copy slice of the flattened list children —
+    parquet point reads must decode whole row-group column chunks of
+    fat array rows (~0.5 s per probe at 1M docs). Values are cast to
+    uint32 ids (valid below 4B docs per segment) + int32 scores (max
+    255 * 4096 < 2^31), 8 bytes/pair."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(out_dir, "pattern_scores"),
+        columns=["pattern", "doc_ids", "scores", "n_docs"],
+    )
+    flat_len = 0
+    for chunk in tbl["doc_ids"].chunks:
+        flat_len += len(chunk.values)
+    if flat_len > PATTERN_STORE_CAP:
+        return
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("doc_ids"), "doc_ids",
+        pc.cast(tbl["doc_ids"], pa.list_(pa.uint32())),
+    ).set_column(
+        tbl.schema.get_field_index("scores"), "scores",
+        pc.cast(tbl["scores"], pa.list_(pa.int32())),
+    )
+    order = pa.compute.sort_indices(tbl["pattern"])
+    tbl = tbl.take(order).combine_chunks()
+    with pa.OSFile(os.path.join(out_dir, "pattern_scores.arrow"), "wb") as sink:
+        with pa.ipc.new_file(sink, tbl.schema) as writer:
+            writer.write_table(tbl)
 
 
 def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> None:

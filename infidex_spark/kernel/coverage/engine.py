@@ -98,23 +98,35 @@ class CoverageEngine:
     def doc_view(self, doc_text: str):
         """Query-independent per-doc token views: (raw unfiltered tokens,
         filtered+deduped matcher tokens, raw filtered count, raw-text
-        set). Callers may cache the result per doc and pass it to
-        calculate_features."""
+        set, text->index over the matcher tokens, length-desc stable
+        token order, unique raw texts in first-occurrence order).
+        Callers may cache the result per doc and pass it to
+        calculate_features — everything here is per-doc work the cold
+        path would otherwise redo per (query, candidate)."""
         from infidex_spark.kernel.coverage.state import _raw_tokens
 
         d_raw = _raw_tokens(doc_text, 0)
         min_ws = self.setup.min_word_size
         seen: set[str] = set()
         doc_tokens: list[Token] = []
+        d_uniq_raw: list[str] = []
         raw_count = 0
         for t in d_raw:
+            if t.text not in seen:
+                seen.add(t.text)
+                d_uniq_raw.append(t.text)
             if len(t.text) >= min_ws:
                 raw_count += 1
-                if t.text not in seen:
-                    seen.add(t.text)
-                    doc_tokens.append(t)
-        d_set = frozenset(t.text for t in d_raw)
-        return d_raw, doc_tokens, raw_count, d_set
+        seen2: set[str] = set()
+        for t in d_raw:
+            if len(t.text) >= min_ws and t.text not in seen2:
+                seen2.add(t.text)
+                doc_tokens.append(t)
+        d_set = frozenset(d_uniq_raw)
+        # doc_tokens are unique by text: exact-match scans become lookups
+        d_index = {t.text: j for j, t in enumerate(doc_tokens)}
+        d_order = sorted(range(len(doc_tokens)), key=lambda j: -len(doc_tokens[j].text))
+        return d_raw, doc_tokens, raw_count, d_set, d_index, d_order, d_uniq_raw
 
     def calculate_features(
         self, ctx: dict, doc_text: str, lcs_sum: float,
@@ -127,12 +139,19 @@ class CoverageEngine:
             return CoverageFeatures()
         if d_view is None:
             d_view = self.doc_view(doc_text)
-        d_raw, doc_tokens, raw_count, d_set = d_view
+        d_raw, doc_tokens, raw_count, d_set, d_index, d_order, d_uniq = d_view
         state = MatchState(
             query_tokens=tokens, doc_tokens=doc_tokens, doc_token_count=raw_count
         )
         state.term_idf = list(ctx["idfs"])
         state.memo = ctx["memo"]
+        state.d_index = d_index
+        state.d_order_full = d_order
+        q_index = ctx.get("q_index")
+        if q_index is None:
+            q_index = {t.text: i for i, t in enumerate(tokens)}
+            ctx["q_index"] = q_index
+        state.q_index = q_index
 
         if self.setup.cover_whole_words:
             match_whole_words(state)
@@ -156,6 +175,6 @@ class CoverageEngine:
         features.fusion = compute_fusion_signals(
             ctx["query"], doc_text, self.setup.min_word_size,
             q_tokens=ctx["q_raw"], d_tokens=d_raw, memo=ctx["memo"],
-            d_set=d_set,
+            d_set=d_set, d_uniq=d_uniq,
         )
         return features

@@ -37,38 +37,48 @@ def compute_fusion_signals(
     d_tokens: list[Token] | None = None,
     memo: dict | None = None,
     d_set: frozenset[str] | None = None,
+    d_uniq: list[str] | None = None,
 ) -> FusionSignals:
     """q_tokens/d_tokens: optional precomputed _raw_tokens(text, 0) (the
     engine passes its per-query / per-candidate tokens to avoid double
-    tokenization); d_set: optional set of d_tokens texts; memo: optional
-    per-query pair-metric memo."""
+    tokenization); d_set: optional set of d_tokens texts; d_uniq:
+    optional unique texts in first-occurrence order (order-independent
+    any/all/max loops run over it instead of the raw duplicated stream);
+    memo: optional per-query pair-metric memo."""
     if q_tokens is None:
         q_tokens = _raw_tokens(query, 0)
     if d_tokens is None:
         d_tokens = _raw_tokens(doc_text, 0)
     if memo is None:
         memo = {}
+    if d_uniq is None:
+        seen: set[str] = set()
+        d_uniq = []
+        for d in d_tokens:
+            if d.text not in seen:
+                seen.add(d.text)
+                d_uniq.append(d.text)
     if d_set is None:
-        d_set = frozenset(d.text for d in d_tokens)
+        d_set = frozenset(d_uniq)
     q_count, d_count = len(q_tokens), len(d_tokens)
     sig = FusionSignals(unfiltered_query_token_count=q_count)
     if q_count == 0 or d_count == 0:
         return sig
 
     sig.lexical_prefix_last, sig.all_preceding_exact = _check_prefix_last(
-        q_tokens, d_tokens, d_set
+        q_tokens, d_uniq, d_set
     )
-    sig.is_perfect_doc_lexical = _perfect_doc(q_tokens, d_tokens, memo)
+    sig.is_perfect_doc_lexical = _perfect_doc(q_tokens, d_uniq, memo)
     if q_count >= 2:
         sig.has_stem_evidence = _stem_evidence(
-            q_tokens, d_tokens, min_stem_length, memo
+            q_tokens, d_uniq, min_stem_length, memo
         )
 
     first = q_tokens[0].text
     if len(first) >= ANCHOR_STEM_LENGTH:
         stem = first[:ANCHOR_STEM_LENGTH]
         sig.has_anchor_stem = any(
-            len(d.text) >= len(stem) and d.text.startswith(stem) for d in d_tokens
+            len(t) >= len(stem) and t.startswith(stem) for t in d_uniq
         )
 
     if q_count >= 2:
@@ -85,7 +95,7 @@ def compute_fusion_signals(
                 sig.trailing_match_density = int(min(max(density * 255.0, 0.0), 255.0))
 
     if q_count == 1:
-        sim = _single_term_similarity(q_tokens[0].text, d_tokens, memo)
+        sim = _single_term_similarity(q_tokens[0].text, d_uniq, memo)
         sig.single_term_lexical_sim = int(min(max(sim * 255.0, 0.0), 255.0))
 
     if q_count >= 2:
@@ -96,14 +106,16 @@ def compute_fusion_signals(
 
 
 def _check_prefix_last(
-    q_tokens: list[Token], d_tokens: list[Token], d_set: frozenset[str]
+    q_tokens: list[Token], d_uniq: list[str], d_set: frozenset[str]
 ) -> tuple[bool, bool]:
+    # d_uniq preserves first-occurrence order, so the first
+    # startswith-match over it is the first match over the raw stream
     q_count = len(q_tokens)
     if q_count == 1:
         q = q_tokens[0].text
-        for d in d_tokens:
-            if d.text.startswith(q):
-                return True, d.text == q
+        for t in d_uniq:
+            if t.startswith(q):
+                return True, t == q
         return False, False
     for qt in q_tokens[:-1]:
         if not qt.text:
@@ -113,20 +125,20 @@ def _check_prefix_last(
     last = q_tokens[-1].text
     if not last:
         return True, True
-    for d in d_tokens:
-        if d.text.startswith(last):
+    for t in d_uniq:
+        if t.startswith(last):
             return True, True
     return False, False
 
 
-def _perfect_doc(q_tokens: list[Token], d_tokens: list[Token], memo: dict) -> bool:
+def _perfect_doc(q_tokens: list[Token], d_uniq: list[str], memo: dict) -> bool:
     # per doc-word result is query-constant: memoize on the word text
-    for d in d_tokens:
-        mkey = ("pd", d.text)
+    for t in d_uniq:
+        mkey = ("pd", t)
         ok = memo.get(mkey)
         if ok is None:
             ok = any(
-                d.text.startswith(q.text) or q.text.startswith(d.text)
+                t.startswith(q.text) or q.text.startswith(t)
                 for q in q_tokens
             )
             memo[mkey] = ok
@@ -154,8 +166,10 @@ def _stem_pair(q: str, dt: str, min_stem: int) -> bool:
 
 
 def _stem_evidence(
-    q_tokens: list[Token], d_tokens: list[Token], min_stem: int, memo: dict
+    q_tokens: list[Token], d_uniq: list[str], min_stem: int, memo: dict
 ) -> bool:
+    # any()-style scans: duplicates contribute nothing, so the unique
+    # word list is equivalent to the raw stream
     unmatched = 0
     evidence = 0
     mget = memo.get
@@ -164,11 +178,10 @@ def _stem_evidence(
         if len(q) < min_stem:
             continue
         prefixed = False
-        for d in d_tokens:
-            mkey = ("sw", q, d.text)
+        for dt in d_uniq:
+            mkey = ("sw", q, dt)
             hit = mget(mkey)
             if hit is None:
-                dt = d.text
                 hit = bool(dt) and (dt == q or dt.startswith(q))
                 memo[mkey] = hit
             if hit:
@@ -177,11 +190,11 @@ def _stem_evidence(
         if prefixed:
             continue
         unmatched += 1
-        for d in d_tokens:
-            mkey = ("st", q, d.text)
+        for dt in d_uniq:
+            mkey = ("st", q, dt)
             hit = mget(mkey)
             if hit is None:
-                hit = _stem_pair(q, d.text, min_stem)
+                hit = _stem_pair(q, dt, min_stem)
                 memo[mkey] = hit
             if hit:
                 evidence += 1
@@ -244,13 +257,16 @@ def _sts_token(query: str, t: str, q_len: int) -> float:
     return max(prefix_suffix, fuzzy)
 
 
-def _single_term_similarity(query: str, d_tokens: list[Token], memo: dict) -> float:
+def _single_term_similarity(query: str, d_uniq: list[str], memo: dict) -> float:
+    # max() over memoized per-text scores: the unique word list is
+    # equivalent to the raw stream; the two-segment first-hit indexes
+    # compare equal/unequal identically because duplicates of a text
+    # share flags (the first raw hit IS a first occurrence)
     q_len = len(query)
     if q_len < 3:
         return 0.0
     best = 0.0
-    for d in d_tokens:
-        t = d.text
+    for t in d_uniq:
         if len(t) < 2:
             continue
         mkey = ("ss", t)
@@ -267,8 +283,7 @@ def _single_term_similarity(query: str, d_tokens: list[Token], memo: dict) -> fl
         suffix_frag = query[q_len - seg_len :]
         p_idx = s_idx = -1
         mget = memo.get
-        for i, d in enumerate(d_tokens):
-            t = d.text
+        for i, t in enumerate(d_uniq):
             if len(t) < 3:
                 continue
             mkey = ("2s", t)

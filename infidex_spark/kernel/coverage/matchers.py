@@ -9,18 +9,25 @@ from infidex_spark.kernel.coverage.metrics import damerau_restricted
 from infidex_spark.kernel.coverage.state import MatchState
 
 
+def _doc_index(state: MatchState) -> dict:
+    if state.d_index is None:
+        # doc_tokens are unique by text (engine.doc_view dedupes)
+        state.d_index = {t.text: j for j, t in enumerate(state.doc_tokens)}
+    return state.d_index
+
+
 def match_whole_words(state: MatchState) -> None:
     """WholeWordMatcher.Match (E3): exact token matches, positional
-    mismatch penalty, phrase-bonus char (+1 between multi-term hits)."""
+    mismatch penalty, phrase-bonus char (+1 between multi-term hits).
+    The first-active-equal-text scan is a dict lookup: doc tokens are
+    unique by text, so at most one index can match."""
     q_count, d_count = state.q_count, state.d_count
+    d_index = _doc_index(state)
     p_increment = 1 if q_count > 1 else 0
     for i in range(q_count):
         q = state.query_tokens[i]
-        match_index = -1
-        for j in range(d_count):
-            if state.d_active[j] and state.doc_tokens[j].text == q.text:
-                match_index = j
-                break
+        j = d_index.get(q.text, -1)
+        match_index = j if j >= 0 and state.d_active[j] else -1
         if match_index == -1:
             continue
         state.word_hits += 1
@@ -51,7 +58,8 @@ def match_joined_words(state: MatchState) -> None:
 
 
 def _match_query_joined(state: MatchState) -> None:
-    q_count, d_count = state.q_count, state.d_count
+    q_count = state.q_count
+    d_index = _doc_index(state)
     for i in range(q_count - 1):
         if not (state.q_active[i] and state.q_active[i + 1]):
             continue
@@ -64,17 +72,10 @@ def _match_query_joined(state: MatchState) -> None:
             break
         q1, q2 = state.query_tokens[i], state.query_tokens[next_idx]
         joined_len = len(q1.text) + len(q2.text)
-        match_index = -1
-        for j in range(d_count):
-            if state.d_active[j]:
-                d = state.doc_tokens[j]
-                if (
-                    len(d.text) == joined_len
-                    and d.text.startswith(q1.text)
-                    and d.text.endswith(q2.text)
-                ):
-                    match_index = j
-                    break
+        # len == len(q1)+len(q2) + startswith(q1) + endswith(q2) is
+        # exactly text == q1+q2, and doc tokens are unique: dict lookup
+        j = d_index.get(q1.text + q2.text, -1)
+        match_index = j if j >= 0 and state.d_active[j] else -1
         if match_index == -1:
             continue
         state.num_joined += joined_len
@@ -110,17 +111,10 @@ def _match_doc_joined(state: MatchState) -> None:
         joined_len = len(d1.text) + len(d2.text)
         if joined_len not in state.q_len_set:
             continue
-        match_index = -1
-        for j in range(q_count):
-            if state.q_active[j]:
-                q = state.query_tokens[j]
-                if (
-                    len(q.text) == joined_len
-                    and q.text.startswith(d1.text)
-                    and q.text.endswith(d2.text)
-                ):
-                    match_index = j
-                    break
+        if state.q_index is None:
+            state.q_index = {t.text: j for j, t in enumerate(state.query_tokens)}
+        j = state.q_index.get(d1.text + d2.text, -1)
+        match_index = j if j >= 0 and state.q_active[j] else -1
         if match_index == -1:
             continue
         state.num_joined += joined_len
@@ -224,10 +218,16 @@ def match_prefix_suffix(state: MatchState) -> None:
         (i for i in range(state.q_count) if state.q_active[i]),
         key=lambda i: -len(state.query_tokens[i].text),
     )
-    d_order = sorted(
-        (j for j in range(state.d_count) if state.d_active[j]),
-        key=lambda j: -len(state.doc_tokens[j].text),
-    )
+    if state.d_order_full is not None:
+        # precomputed length-desc stable order (doc_view); inactive
+        # entries are skipped inside the passes, which is the same
+        # sequence as sorting the active subset (stable sort)
+        d_order = [j for j in state.d_order_full if state.d_active[j]]
+    else:
+        d_order = sorted(
+            (j for j in range(state.d_count) if state.d_active[j]),
+            key=lambda j: -len(state.doc_tokens[j].text),
+        )
     _match_exact_affix(state, q_order, d_order)
     _match_fuzzy_prefix(state, q_order, d_order)
 

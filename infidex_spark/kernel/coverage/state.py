@@ -20,7 +20,7 @@ _DELIMS = frozenset(DELIMITERS)
 _WORD_RE = re.compile("[^" + re.escape(DELIMITERS) + "]+")
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
     text: str
     position: int  # char offset
@@ -71,6 +71,11 @@ class MatchState:
     term_first_pos: list[int] = field(default_factory=list)
     term_idf: list[float] = field(default_factory=list)
     memo: dict = field(default_factory=dict)  # per-query pair-metric memo
+    # optional precomputed lookup structures (engine.doc_view /
+    # prepare_query); matchers fall back to building them on demand
+    d_index: dict | None = None  # doc token text -> index (unique)
+    d_order_full: list | None = None  # all doc indexes, length-desc stable
+    q_index: dict | None = None  # query token text -> index (unique)
     word_hits: int = 0
     num_whole: float = 0.0
     num_joined: float = 0.0

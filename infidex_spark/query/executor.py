@@ -37,6 +37,24 @@ def term_bucket(term: str, n_buckets: int) -> int:
 _TERM_MISS = object()  # negative-cache marker in IndexReader._term_cache
 
 
+def _list_rows_to_numpy(tbl, key_col: str, val_col: str) -> dict:
+    """{key: int64 ndarray} from a (string, list<int64>) Arrow table —
+    zero-copy slices of the flattened child values (per-row .as_py()
+    would materialize a Python list per element)."""
+    out: dict = {}
+    if tbl.num_rows == 0:
+        return out
+    keys = tbl[key_col].to_pylist()
+    col = tbl.column(val_col).combine_chunks()
+    if hasattr(col, "chunk"):  # ChunkedArray on older pyarrow
+        col = col.chunk(0)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy()
+    for i, k in enumerate(keys):
+        out[k] = flat[offs[i] : offs[i + 1]]
+    return out
+
+
 def _short_query_precedence_wtext(titles, wtexts, q: str) -> np.ndarray:
     """Vectorized ComputePrecedence using the precomputed words_text
     column (' w1 w2 ' with sentinel spaces): every word-boundary check is
@@ -386,6 +404,8 @@ class IndexReader:
             ds.dataset(sq1, partitioning="hive") if os.path.isdir(sq1) else None
         )
         self._sq_meta: dict | None = None  # lazy short-query meta cache
+        self._doc_store: tuple | None = None  # lazy mmap'd text store
+        self._ps_store: tuple | None = None  # lazy mmap'd pattern store
         self._all_terms: list[str] | None = None  # lazy fallback dictionary
         # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
         # memory so the candidate selector only touches disk for the rare
@@ -726,12 +746,7 @@ class IndexReader:
             columns=["word", "doc_ids"],
             filter=ds.field("bucket").isin(buckets) & ds.field("word").isin(words),
         )
-        out = {}
-        for i in range(tbl.num_rows):
-            out[tbl["word"][i].as_py()] = np.asarray(
-                tbl["doc_ids"][i].as_py(), dtype=np.int64
-            )
-        return out
+        return _list_rows_to_numpy(tbl, "word", "doc_ids")
 
     def pattern_scores(self, pattern: str) -> tuple[np.ndarray, np.ndarray] | None:
         """Precomputed SearchShortQuery pattern aggregate: (sorted internal
@@ -745,6 +760,16 @@ class IndexReader:
             return None
         if "pattern" not in self._pattern_scores.schema.names:  # empty write
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        store = self._open_ps_store()
+        if store is not None:
+            pats, ids_flat, sc_flat, offs, n_docs = store
+            i = int(np.searchsorted(pats, pattern))
+            if i >= pats.size or pats[i] != pattern:
+                return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+            lo, hi = int(offs[i]), int(offs[i + 1])
+            if int(n_docs[i]) > hi - lo:
+                return None  # withheld (cap_docs exceeded at build)
+            return ids_flat[lo:hi], sc_flat[lo:hi]
         b = term_bucket(pattern, self._ps_buckets)
         tbl = self._pattern_scores.to_table(
             columns=["doc_ids", "scores", "n_docs"],
@@ -752,10 +777,13 @@ class IndexReader:
         )
         if tbl.num_rows == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-        ids = np.asarray(tbl["doc_ids"][0].as_py(), dtype=np.int64)
+        # zero-copy: flatten the single row's list values straight to
+        # numpy (as_py() would materialize a Python list per element)
+        ids = tbl.column("doc_ids").combine_chunks().flatten().to_numpy()
         if int(tbl["n_docs"][0].as_py()) > ids.size:
             return None  # withheld (cap_docs exceeded at build)
-        return ids, np.asarray(tbl["scores"][0].as_py(), dtype=np.int64)
+        scores = tbl.column("scores").combine_chunks().flatten().to_numpy()
+        return ids, scores
 
     def sq1_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
         """Single-char word postings (short-query precedence): word ->
@@ -769,12 +797,7 @@ class IndexReader:
             columns=["word", "doc_ids"],
             filter=ds.field("bucket").isin(buckets) & ds.field("word").isin(words),
         )
-        return {
-            tbl["word"][i].as_py(): np.asarray(
-                tbl["doc_ids"][i].as_py(), dtype=np.int64
-            )
-            for i in range(tbl.num_rows)
-        }
+        return _list_rows_to_numpy(tbl, "word", "doc_ids")
 
     SQ_META_CACHE_LIMIT = 20_000_000
 
@@ -799,19 +822,76 @@ class IndexReader:
         ids = tbl["doc_id"].to_numpy()
         order = np.argsort(ids)
         tiny = tbl["tiny_text"].to_pandas().fillna("\x00").to_numpy(dtype="<U3")
+        first3 = tbl["first3"].to_pandas().fillna("").to_numpy(dtype="<U3")[order]
         self._sq_meta = {
             "ids": ids[order],
             "n_tokens": tbl["n_tokens"].to_numpy()[order],
             # NUL sentinel for null tiny_text: never equals a real query
             "tiny": tiny[order],
-            "first3": tbl["first3"].to_pandas().fillna("").to_numpy(dtype="<U3")[order],
+            "first3": first3,
+            # truncated copy: startswith(q) for len-2 q is equality on it
+            "first2": first3.astype("<U2"),
             "first_word3": tbl["first_word3"].to_pandas().fillna("").to_numpy(dtype="<U3")[order],
         }
         return self._sq_meta
 
+    def _open_ps_store(self):
+        """Memory-map pattern_scores.arrow once: (sorted pattern '<U4'
+        array, flattened doc ids, flattened scores, list offsets, n_docs)
+        — a probe is searchsorted + two zero-copy slices."""
+        if self._ps_store is None:
+            path = os.path.join(self.index_dir, "pattern_scores.arrow")
+            if not os.path.isfile(path):
+                self._ps_store = ()
+            else:
+                import pyarrow as pa
+
+                tbl = pa.ipc.open_file(pa.memory_map(path)).read_all()
+                tbl = tbl.combine_chunks()
+                ids_col = tbl["doc_ids"].chunk(0)
+                sc_col = tbl["scores"].chunk(0)
+                self._ps_store = (
+                    tbl["pattern"].to_numpy().astype("<U4"),
+                    ids_col.values.to_numpy(),
+                    sc_col.values.to_numpy(),
+                    ids_col.offsets.to_numpy(),
+                    tbl["n_docs"].to_numpy(),
+                )
+        return self._ps_store or None
+
+    def _open_doc_store(self):
+        """Memory-map doc_store.arrow (doc_id-sorted texts) once; returns
+        (sorted doc_id ndarray, text column) or None when absent."""
+        if self._doc_store is None:
+            path = os.path.join(self.index_dir, "doc_store.arrow")
+            if not os.path.isfile(path):
+                self._doc_store = ()
+            else:
+                import pyarrow as pa
+
+                reader = pa.ipc.open_file(pa.memory_map(path))
+                tbl = reader.read_all()  # zero-copy views over the mmap
+                self._doc_store = (tbl["doc_id"].to_numpy(), tbl["text"])
+        return self._doc_store or None
+
     def doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
-        """Prepped text per internal doc id (point fetch on doc_meta)."""
-        if self._doc_meta is None or not doc_ids:
+        """Prepped text per internal doc id. Served from the mmap'd
+        doc_store (random .take — O(candidates) page touches, the
+        reference's mmap'd IndexedText analogue) when present; falls
+        back to a doc_meta parquet point fetch."""
+        if not doc_ids:
+            return {}
+        store = self._open_doc_store()
+        if store is not None:
+            ids_sorted, texts = store
+            want = np.asarray(doc_ids, dtype=np.int64)
+            pos = np.searchsorted(ids_sorted, want)
+            pos_c = np.clip(pos, 0, max(ids_sorted.size - 1, 0))
+            ok = ids_sorted.size > 0
+            hit = (ids_sorted[pos_c] == want) if ok else np.zeros(want.size, bool)
+            got = texts.take(pos_c[hit]).to_pylist()
+            return dict(zip(want[hit].tolist(), got))
+        if self._doc_meta is None:
             return {}
         tbl = self._doc_meta.to_table(
             columns=["doc_id", "text"], filter=ds.field("doc_id").isin(doc_ids)
@@ -1316,9 +1396,12 @@ class QueryExecutor:
                 return z, np.zeros(0, dtype=np.float64), z
             ids_cat = np.concatenate(ids_l)
             w_cat = np.concatenate(w_l)
-            uids, inv = np.unique(ids_cat, return_inverse=True)
-            # int-valued weight sums (exact: ints < 2^53 in float64)
-            iscores = np.bincount(inv, weights=w_cat, minlength=uids.size)
+            # internal ids are dense [0, total_docs): one O(nnz + N)
+            # bincount replaces a sort-based unique (int-valued sums,
+            # exact: ints < 2^53 in float64)
+            dense = np.bincount(ids_cat, weights=w_cat, minlength=r.total_docs)
+            uids = np.flatnonzero(dense)
+            iscores = dense[uids]
             _, keys = r.doc_lengths(uids)
             return uids, iscores, keys
 
@@ -1463,7 +1546,14 @@ class QueryExecutor:
                 any_exact = np.isin(rep, word_docs[q])
                 first_exact = meta["first_word3"][pos] == q
                 prec += any_exact * 1 + first_exact * 4
-            prec += np.char.startswith(meta["first3"][pos], q) * 2
+            # startswith(q) == equality on the len(q)-char prefix column
+            if len(q) == 2:
+                starts = meta["first2"][pos] == q
+            elif len(q) == 3:
+                starts = meta["first3"][pos] == q
+            else:
+                starts = np.char.startswith(meta["first3"][pos], q)
+            prec += starts * 2
             prec += (meta["tiny"][pos] == q) * 8
             return prec
         texts_map, wtexts_map = r.doc_title_rows(sorted(set(rep.tolist())))

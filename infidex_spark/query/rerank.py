@@ -165,6 +165,29 @@ class RerankExecutor:
             self._df_cache[term] = got[term].df if term in got else 0
         return self._df_cache[term]
 
+    def _prefetch_term_dfs(self, q: str) -> None:
+        """One batched fetch for every n-gram the coverage engine's
+        per-token IDF will probe (CoverageEngine._term_idf) — the cold
+        path previously paid one parquet point scan PER GRAM."""
+        from infidex_spark.kernel.coverage.state import tokenize_coverage
+
+        tokens, _ = tokenize_coverage(q, self.setup.min_word_size)
+        grams: set[str] = set()
+        for t in tokens:
+            for size in self.r.sizes:
+                if len(t.text) >= size:
+                    grams.update(
+                        t.text[i : i + size]
+                        for i in range(len(t.text) - size + 1)
+                    )
+        missing = [g for g in grams if g not in self._df_cache]
+        if not missing:
+            return
+        got = self.r.fetch_terms(missing)
+        for g in missing:
+            tp = got.get(g)
+            self._df_cache[g] = tp.df if tp is not None else 0
+
     def _doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
         """Texts for doc_ids through the per-doc cache; only cache misses
         hit parquet (single isin pushdown)."""
@@ -297,6 +320,7 @@ class RerankExecutor:
             s1 = self._lexical_prescreen(q, s1)
         max_tfidf = s1[0][1] if s1 else 1.0
 
+        self._prefetch_term_dfs(q)
         ctx = self.engine.prepare_query(q)
         tol = 0
         if len(q) >= self.setup.coverage_q_limit_for_error_tolerance:

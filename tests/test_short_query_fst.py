@@ -99,7 +99,7 @@ def test_fast_and_legacy_short_paths_identical(spark, tmp_path):
         [(i, key, text) for i, (key, text) in enumerate(DOCS)],
         "doc_id long, doc_key long, text string",
     )
-    build_index(spark, docs, out, n_buckets=4, salts=2)
+    build_index(spark, docs, out, n_buckets=4, salts=2, short_precompute=True)
     fast = QueryExecutor(IndexReader(out))
     legacy_r = IndexReader(out)
     legacy_r._pattern_scores = None  # disable precomputed aggregates
