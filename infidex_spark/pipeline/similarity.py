@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -160,16 +161,42 @@ def ivf_train_centroids(
     return cent
 
 
-def ivf_assign(
-    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
-) -> DataFrame:
-    """Add a `cell` column = nearest centroid by cosine (JVM-side exprs).
-    Persist partitioned by cell for partition-pruned probes at scale.
+IVF_EXPR_LITERAL_CAP = 10_000  # n_centroids * dim above which exprs blow up
 
-    Scale note: centroids are embedded as Catalyst literals, so the plan
-    grows with n_centroids*dim — right up to ~10^4 literal floats. For
-    256+ cells at 1024-dim, switch the assignment to a pandas_udf with a
-    broadcast centroid matrix (one argmax matmul per Arrow batch)."""
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    method: str = "auto",
+) -> DataFrame:
+    """Add a `cell` column = nearest centroid by cosine (first-max wins
+    on ties). Persist partitioned by cell for partition-pruned probes at
+    scale.
+
+    method="expr" embeds centroids as Catalyst literals (whole-stage
+    codegen, zero Python) — right while n_centroids*dim stays small;
+    method="arrow" runs one argmax matmul per Arrow batch in a
+    pandas_udf over the full centroid matrix — right for 256+ cells at
+    high dim, where the literal plan explodes. "auto" switches on
+    n_centroids*dim > 10_000."""
+    if method == "auto":
+        method = "expr" if centroids.size <= IVF_EXPR_LITERAL_CAP else "arrow"
+    if method == "arrow":
+        from pyspark.sql.functions import pandas_udf
+
+        Cn = centroids / np.maximum(
+            np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+        )
+        CnT = Cn.T  # closure-captured; one copy per executor python worker
+
+        @pandas_udf("int")
+        def assign_udf(vecs: pd.Series) -> pd.Series:
+            X = np.stack(vecs.to_numpy()).astype(np.float64)
+            Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(Xn @ CnT, axis=1).astype(np.int32))
+
+        return emb.withColumn("cell", assign_udf(F.col(vec_col)))
     best_cell = F.lit(0)
     best_sim = F.lit(-2.0)
     for c, row in enumerate(centroids):
@@ -188,11 +215,12 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
 ) -> DataFrame:
     """IVF ANN top-k: score only the nprobe cells whose centroids are
     closest to the query (exact cosine within). The inverted-file scale
     path: recall grows with nprobe, scan cost is nprobe/n_centroids of
-    the corpus."""
+    the corpus. method: see ivf_assign."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     Cn = centroids / np.maximum(
@@ -200,7 +228,7 @@ def ivf_topk(
     )
     order = np.argsort(-(Cn @ qn), kind="stable")[:nprobe]
     cells = [int(c) for c in order]
-    assigned = ivf_assign(emb, centroids, vec_col)
+    assigned = ivf_assign(emb, centroids, vec_col, method=method)
     return (
         assigned.filter(F.col("cell").isin(cells))
         .select(F.col(id_col), _cosine_expr(vec_col, query_vec).alias("cosine"))

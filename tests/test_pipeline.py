@@ -161,3 +161,38 @@ def test_ivf_topk_recall_and_determinism(emb_df):
     assigned = ivf_assign(emb_df, cents)
     assert assigned.count() == len(rows)
     assert assigned.filter((F.col("cell") < 0) | (F.col("cell") >= 4)).count() == 0
+
+
+def test_ivf_arrow_assignment_matches_expr(emb_df):
+    """The pandas_udf (Arrow batch matmul) assignment path equals the
+    Catalyst-literal path cell-for-cell, and its plan carries a python
+    UDF eval instead of the O(n_centroids*dim) literal tree."""
+    from infidex_spark.pipeline.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    cents = ivf_train_centroids(emb_df, n_centroids=4, iters=4, seed=11)
+    a = {
+        r.vec_id: r.cell
+        for r in ivf_assign(emb_df, cents, method="expr").collect()
+    }
+    b = {
+        r.vec_id: r.cell
+        for r in ivf_assign(emb_df, cents, method="arrow").collect()
+    }
+    assert a == b
+    plan = ivf_assign(emb_df, cents, method="arrow")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan or "Python" in plan
+    # top-k through the arrow path is identical too
+    q = list(emb_df.collect()[0].embedding)
+    ta = [r.vec_id for r in ivf_topk(emb_df, cents, q, 10, nprobe=4, method="expr").collect()]
+    tb = [r.vec_id for r in ivf_topk(emb_df, cents, q, 10, nprobe=4, method="arrow").collect()]
+    assert ta == tb
+    # auto switches to arrow when the literal plan would explode
+    from infidex_spark.pipeline import similarity as S
+
+    big = np.random.default_rng(0).normal(size=(300, 64))  # 19200 > cap
+    plan_auto = ivf_assign(emb_df.limit(1), big, method="auto")._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan_auto or "Python" in plan_auto
