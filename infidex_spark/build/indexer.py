@@ -630,6 +630,21 @@ def build_index(
         shutil.rmtree(tokens_path, ignore_errors=True)
 
     wall = time.time() - t0
+    # bytes on disk per table (the reference advertises index size —
+    # README.md:497 '< 5 MB for 40k movies'; this makes ours measurable)
+    table_bytes: dict[str, int] = {}
+    for entry in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, entry)
+        if entry in ("MANIFEST.json", "checkpoints", "tokens", "deltas"):
+            continue
+        if os.path.isfile(p):
+            table_bytes[entry] = os.path.getsize(p)
+        elif os.path.isdir(p):
+            table_bytes[entry] = sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
     manifest = {
         "format_version": 1,
         "total_docs": int(n_docs_total),
@@ -651,6 +666,8 @@ def build_index(
         "max_prefix_docs": max_prefix_docs,
         "build_wall_sec": wall,
         "docs_per_sec": (n_docs_total / wall) if wall > 0 else 0.0,
+        "table_bytes": table_bytes,
+        "index_bytes_total": int(sum(table_bytes.values())),
         "bucket_groups": bucket_metrics,
         "step_secs": step_secs,
         "synonyms": synonym_map.to_json() if synonym_map is not None else [],
