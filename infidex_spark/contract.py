@@ -346,6 +346,32 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_arrow_topk(spark, sf_dir):
+    """Same full-oracle IVF construction as ann_ivf_topk, but routed
+    through the pandas_udf (Arrow batch matmul) assignment path — the
+    scale variant for centroid sets too large for Catalyst literals."""
+    from infidex_spark.pipeline.similarity import (
+        _cosine_expr,
+        ivf_assign,
+        ivf_train_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    cents = ivf_train_centroids(emb, n_centroids=8, iters=3, seed=11)
+    assigned = ivf_assign(emb, cents, method="arrow")
+    assigned = assigned.filter(
+        F.col("cell").isin(list(range(int(cents.shape[0]))))
+    )
+    return (
+        assigned.select(
+            "vec_id", F.round(_cosine_expr("embedding", qvec), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> feature vector via
     mapInPandas (decode kernel is a deterministic stub; rows-only)."""
@@ -577,6 +603,20 @@ def q_wm_word_docs(spark, sf_dir):
 
 
 WM_PROBE_WORDS = ["spark", "query", "join", "the", "of", "window"]
+SQ1_PROBE_WORDS = ["a", "i", "o", "x", "z", "q"]
+
+
+def q_sq1_word_docs(spark, sf_dir):
+    """Index-content oracle for the single-char word postings
+    (sq_words1, the short-query precedence fast path): (word, n_docs)
+    for probe letters must equal DuckDB's distinct-document counts over
+    the identically normalized, delimiter-split text."""
+    from infidex_spark.query.executor import IndexReader
+
+    reader = IndexReader(_contract_index(spark, sf_dir))
+    got = reader.sq1_word_docs(SQ1_PROBE_WORDS)
+    rows = [(w, int(ids.size)) for w, ids in sorted(got.items())]
+    return spark.createDataFrame(rows, "word string, n_docs long")
 
 
 QUERIES = {
@@ -611,6 +651,8 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_arrow_topk": q_ann_ivf_arrow_topk,
+    "sq1_word_docs": q_sq1_word_docs,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -869,6 +911,30 @@ ORACLES = {
         ORDER BY cosine DESC, e.vec_id ASC
         LIMIT 10
     """,
+    "ann_ivf_arrow_topk": """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+        FROM embeddings e, q
+        ORDER BY cosine DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    "sq1_word_docs": f"""
+        WITH norm AS (
+          SELECT doc_id, {_normalize_sql('text')} AS t FROM documents
+        ),
+        w AS (
+          SELECT DISTINCT doc_id, s.w AS w
+          FROM norm, unnest(regexp_split_to_array(t, '{{DELIMS}}+')) AS s(w)
+          WHERE length(s.w) = 1
+        )
+        SELECT w AS word, count(*)::BIGINT AS n_docs
+        FROM w
+        WHERE w IN ('a','i','o','x','z','q')
+        GROUP BY w
+    """.replace("{DELIMS}", _delim_class_sql()),
     "ann_cosine_topk": """
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id,
