@@ -589,6 +589,7 @@ def build_index(
         fut_word_tables.result()
     pool.shutdown()
     _mark("join_doc_stats_prefixes")
+    do_ps = False
     if aux:
         # ---- LD1 symmetric-delete variants + sorted term dictionary
         # (B5/D10: lexicographic (term, df) parquet, the FST stand-in for
@@ -668,6 +669,9 @@ def build_index(
         "docs_per_sec": (n_docs_total / wall) if wall > 0 else 0.0,
         "table_bytes": table_bytes,
         "index_bytes_total": int(sum(table_bytes.values())),
+        # fmt 2: plen-3 rows are deltas (reader merges the base gram's
+        # own postings); fmt 1 / absent: rows are complete aggregates
+        "pattern_scores_fmt": 2 if (aux and do_ps) else None,
         "bucket_groups": bucket_metrics,
         "step_secs": step_secs,
         "synonyms": synonym_map.to_json() if synonym_map is not None else [],
@@ -704,39 +708,44 @@ def _build_wm_words(
     max_list ids (the reference's Term growth cap) and the table is
     written sorted by word so point fetches prune by row-group min/max."""
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from infidex_spark.kernel.normalize import normalize_series
-        from infidex_spark.build.tokenizer import _DELIM_SPLIT
+    def make_extract(min_len: int, max_len: int | None):
+        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from infidex_spark.kernel.normalize import normalize_series
+            from infidex_spark.build.tokenizer import _DELIM_SPLIT
 
-        for pdf in batches:
-            texts = normalize_series(pdf["text"].fillna("")).str.lower()
-            if synonym_map is not None and synonym_map.has_mappings:
-                texts = synonym_map.canonicalize_series(texts)
-            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-            words = words[words.str.len() >= 1]
-            if not len(words):
-                continue
-            ids = pdf["doc_id"].to_numpy()
-            frame = pd.DataFrame(
-                {
-                    "doc_id": ids[words.index.to_numpy(np.int64)],
-                    "word": words.to_numpy(),
-                }
-            ).drop_duplicates()
-            yield frame
+            for pdf in batches:
+                texts = normalize_series(pdf["text"].fillna("")).str.lower()
+                if synonym_map is not None and synonym_map.has_mappings:
+                    texts = synonym_map.canonicalize_series(texts)
+                words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+                lens = words.str.len()
+                sel = lens >= min_len
+                if max_len is not None:
+                    sel &= lens <= max_len
+                words = words[sel]
+                if not len(words):
+                    continue
+                ids = pdf["doc_id"].to_numpy()
+                frame = pd.DataFrame(
+                    {
+                        "doc_id": ids[words.index.to_numpy(np.int64)],
+                        "word": words.to_numpy(),
+                    }
+                ).drop_duplicates()
+                yield frame
 
-    from pyspark import StorageLevel
+        return extract
 
-    all_pairs = (
-        docs.select("doc_id", "text")
-        .mapInPandas(extract, "doc_id long, word string")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = docs.select("doc_id", "text").mapInPandas(
+        make_extract(2, None), "doc_id long, word string"
     )
-    pairs = all_pairs.filter(F.length("word") >= 2)
     # len-1 words feed the short-query precedence fast path (sq_words1):
     # the reference WordMatcher never indexes them, so they live in a
-    # separate tiny table instead of wm_words
-    sq1 = all_pairs.filter(F.length("word") == 1)
+    # separate tiny table. Recomputing the cheap extract beats
+    # persisting the 10^8-row pair stream (memory pressure at scale).
+    sq1 = docs.select("doc_id", "text").mapInPandas(
+        make_extract(1, 1), "doc_id long, word string"
+    )
     # same physical shape as the postings build: one shuffle on the word
     # bucket, a spillable sort, and a streaming group collector — no
     # collect_set/array_sort agg buffers (hot words would make those the
@@ -817,7 +826,6 @@ def _build_wm_words(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "sq_words1"))
     )
-    all_pairs.unpersist()
 
 
 def _build_word_tables(docs: DataFrame, out_dir: str, synonym_map=None) -> None:
@@ -1119,20 +1127,31 @@ def _build_pattern_scores(
     cap_terms: int = 4096,
     cap_docs: int = 5_000_000,
 ) -> None:
-    """Short-query pattern aggregates (D10 fast path): for every 2- and
-    3-char prefix `pattern` of the live dictionary, the per-doc sum of
-    byte tfs over the lexicographically FIRST cap_terms(=4096, the FST
-    cap) terms with that prefix — exactly the contribution
-    SearchShortQuery accumulates per pattern, precomputed so a short
-    query is a handful of point fetches instead of fetching and decoding
-    up to 4*4096 term rows per evaluation. Built FROM the encoded
-    postings (no second pass over raw tokens): rank terms within prefix,
-    decode+fan out each term row to (pattern, doc, w), then one shuffle
-    on the pattern bucket into a spillable sort feeding a streaming
-    fold-and-collect (duplicate docs within a pattern sum in-stream; no
+    """Short-query pattern aggregates (D10 fast path, format 2): for
+    every 2- and 3-char prefix `pattern` of the live dictionary, the
+    per-doc sum of byte tfs over the lexicographically FIRST
+    cap_terms(=4096, the FST cap) terms with that prefix — exactly the
+    contribution SearchShortQuery accumulates per pattern, precomputed
+    so a short query is a handful of point fetches instead of fetching
+    and decoding up to 4*4096 term rows per evaluation.
+
+    Volume control (the 100 TB-defining choice): a 3-char pattern IS an
+    indexed gram whose postings row already holds most of the group's
+    mass (every 3-prefix of an indexed word is also a gram of the same
+    doc), and it sorts FIRST in its group, so it always survives the
+    cap when live. plen-3 rows therefore store only the DELTA — terms
+    LONGER than the pattern (words) — and the reader merges the base
+    gram's own (lazily decoded, term-cached) postings at probe time;
+    this avoids re-shuffling the gram bulk (~88% of all pairs). plen-2
+    groups have no base term (min gram size 3) and stay fully
+    materialized. Built FROM the encoded postings (no second pass over
+    raw tokens): rank terms within prefix, broadcast-join the rank
+    filter, decode+fan out, then one shuffle on (bucket, pattern-salt)
+    into a spillable sort feeding a streaming fold-and-collect (no
     per-key agg buffers). Patterns with more than cap_docs matched docs
-    store their count but withhold the arrays (row-size bound at extreme
-    corpus sizes); the reader falls back to live expansion for those."""
+    store their count but withhold the arrays (row-size bound at
+    extreme corpus sizes); the reader falls back to live expansion for
+    those."""
     from pyspark.sql.window import Window
 
     posts = spark.read.parquet(postings_path)
@@ -1144,12 +1163,19 @@ def _build_pattern_scores(
             .withColumn("pattern", F.substring("term", 1, plen))
         )
         w = Window.partitionBy("pattern").orderBy("term")
-        p = (
-            p.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= cap_terms)
-            .select("term", "pattern")
+        p = p.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= cap_terms
         )
+        if plen == 3:
+            # delta-only: the base gram (term == pattern) contributes
+            # via its own postings row at query time
+            p = p.filter(F.length("term") > plen)
+        p = p.select("term", "pattern")
         pats = p if pats is None else pats.unionByName(p)
+    # the rank filter is vocabulary-sized (<= 2 rows/term): broadcast it
+    # below 10M rows so the payload side never shuffles for the join
+    if pats.count() <= 10_000_000:
+        pats = F.broadcast(pats)
     joined = posts.select("term", "payload", "weights", "n_docs").join(pats, "term")
 
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1175,9 +1201,13 @@ def _build_pattern_scores(
 
     pairs = joined.mapInPandas(explode, "pattern string, doc_id long, w long")
     n_buckets = 16
+    salts_per_bucket = 4  # partitions = buckets * salts; a pattern stays whole
     bucketed = pairs.withColumn(
         "bucket",
         F.pmod(F.crc32(F.encode("pattern", "utf-8")), F.lit(n_buckets)).cast("int"),
+    ).withColumn(
+        "psalt",
+        F.pmod(F.xxhash64("pattern"), F.lit(salts_per_bucket)).cast("int"),
     )
 
     def collect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1245,8 +1275,9 @@ def _build_pattern_scores(
             )
 
     (
-        bucketed.repartition(n_buckets, "bucket")
+        bucketed.repartition(n_buckets * salts_per_bucket, "bucket", "psalt")
         .sortWithinPartitions("pattern", "doc_id")
+        .drop("psalt")
         .mapInPandas(
             collect,
             "pattern string, doc_ids array<long>, scores array<long>, "

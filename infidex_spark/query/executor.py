@@ -406,6 +406,11 @@ class IndexReader:
         self._sq_meta: dict | None = None  # lazy short-query meta cache
         self._doc_store: tuple | None = None  # lazy mmap'd text store
         self._ps_store: tuple | None = None  # lazy mmap'd pattern store
+        # fmt >= 2: plen-3 pattern rows are deltas; the executor merges
+        # the base gram's own postings at probe time
+        self.pattern_scores_delta_fmt = (
+            (self.manifest.get("pattern_scores_fmt") or 1) >= 2
+        )
         self._all_terms: list[str] | None = None  # lazy fallback dictionary
         # prefix POP counts are tiny (<= ~alphabet^3 keys): keep them in
         # memory so the candidate selector only touches disk for the rare
@@ -1098,9 +1103,17 @@ class MultiReader:
             w: np.sort(np.concatenate(parts)) for w, parts in out.items()
         }
 
+    @property
+    def pattern_scores_delta_fmt(self) -> bool:
+        return all(r.pattern_scores_delta_fmt for r in self.readers)
+
     def pattern_scores(self, pattern: str) -> tuple[np.ndarray, np.ndarray] | None:
         """Per-segment aggregates concatenate (doc-id spaces disjoint and
-        ascending); conservative None when any segment lacks the table."""
+        ascending); conservative None when any segment lacks the table or
+        segments mix row formats (complete vs delta rows cannot merge)."""
+        fmts = {r.pattern_scores_delta_fmt for r in self.readers}
+        if len(fmts) > 1:
+            return None
         ids_l, sc_l = [], []
         for r in self.readers:
             got = r.pattern_scores(pattern)
@@ -1370,14 +1383,29 @@ class QueryExecutor:
         w_l: list[np.ndarray] = []
 
         get_ps = getattr(r, "pattern_scores", None)
+        ps_delta = getattr(r, "pattern_scores_delta_fmt", False)
         live_pats: list[str] = []
+        base_pats: list[str] = []
         for pat in patterns:
             got = get_ps(pat) if get_ps is not None else None
             if got is None:
                 live_pats.append(pat)
-            elif got[0].size:
+                continue
+            if got[0].size:
                 ids_l.append(got[0])
                 w_l.append(got[1].astype(np.float64) * 10.0)
+            if ps_delta and len(pat) == 3:
+                # fmt 2: the row is a delta — the base gram's own
+                # postings (lazily decoded, term-cached) complete it
+                base_pats.append(pat)
+        if base_pats:
+            fetched = r.fetch_terms(base_pats)
+            for pat in base_pats:
+                tp = fetched.get(pat)
+                if tp is None or tp.df <= 0 or tp.n_docs == 0:
+                    continue
+                ids_l.append(tp.doc_ids)
+                w_l.append(tp.tfs.astype(np.float64) * 10.0)
         if live_pats:
             expanded: list[str] = []
             for pat in live_pats:
