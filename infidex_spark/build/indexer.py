@@ -1168,8 +1168,16 @@ def _build_pattern_scores(
         )
         if plen == 3:
             # delta-only: the base gram (term == pattern) contributes
-            # via its own postings row at query time
-            p = p.filter(F.length("term") > plen)
+            # via its own postings row at query time. EXCEPT pad-prefixed
+            # patterns ('￿￿f', '￿fo'): those groups hold only the 1-2
+            # doc-head grams per doc, so full materialization is nearly
+            # free and saves the probe a base decode.
+            from infidex_spark.kernel.tokenize import START_PAD
+
+            p = p.filter(
+                (F.length("term") > plen)
+                | F.col("pattern").startswith(START_PAD)
+            )
         p = p.select("term", "pattern")
         pats = p if pats is None else pats.unionByName(p)
     # the rank filter is vocabulary-sized (<= 2 rows/term): broadcast it

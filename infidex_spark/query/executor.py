@@ -1394,9 +1394,10 @@ class QueryExecutor:
             if got[0].size:
                 ids_l.append(got[0])
                 w_l.append(got[1].astype(np.float64) * 10.0)
-            if ps_delta and len(pat) == 3:
+            if ps_delta and len(pat) == 3 and not pat.startswith("￿"):
                 # fmt 2: the row is a delta — the base gram's own
-                # postings (lazily decoded, term-cached) complete it
+                # postings (lazily decoded, term-cached) complete it.
+                # Pad-prefixed pattern rows are stored complete.
                 base_pats.append(pat)
         if base_pats:
             fetched = r.fetch_terms(base_pats)
