@@ -376,12 +376,26 @@ def tokenize_fields_batch(
     tf = np.minimum(np.rint(w_s[gstart]), 255.0)
     succ = np.zeros(gstart.size, dtype=np.int64)
     max_len = int(glen.max())
-    for r in range(1, max_len):
-        active = np.flatnonzero(glen > r)
-        nw = tf[active] + w_s[gstart[active] + r]
-        ok = nw <= 255.0
-        tf[active] = np.where(ok, np.rint(nw), tf[active])
-        succ[active] += ok
+    if max_len > 1:
+        # groups in multiplicity-desc order: round r touches exactly the
+        # first k[r] groups (a prefix), so total fold work is O(total
+        # occurrences) instead of O(groups x max multiplicity)
+        order_g = np.argsort(-glen, kind="stable")
+        tf_o = tf[order_g]
+        succ_o = succ[order_g]
+        gstart_o = gstart[order_g]
+        counts = np.bincount(glen, minlength=max_len + 1)
+        k = glen.size - np.cumsum(counts)  # k[r] = #groups with glen > r
+        for r in range(1, max_len):
+            kr = int(k[r])
+            if kr == 0:
+                break
+            nw = tf_o[:kr] + w_s[gstart_o[:kr] + r]
+            ok = nw <= 255.0
+            tf_o[:kr] = np.where(ok, np.rint(nw), tf_o[:kr])
+            succ_o[:kr] += ok
+        tf[order_g] = tf_o
+        succ[order_g] = succ_o
 
     return pd.DataFrame(
         {
