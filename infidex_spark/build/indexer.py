@@ -1085,8 +1085,8 @@ def _write_doc_store(out_dir: str) -> None:
     tbl = pq.read_table(meta_path, columns=["doc_id", "text"])
     if tbl.num_rows > DOC_STORE_CAP:
         return
-    order = pa.compute.sort_indices(tbl["doc_id"])
-    tbl = tbl.take(order).combine_chunks()
+    # arrival order; the reader argsorts the doc_id column once at open
+    tbl = tbl.combine_chunks()
     with pa.OSFile(os.path.join(out_dir, "doc_store.arrow"), "wb") as sink:
         with pa.ipc.new_file(sink, tbl.schema) as writer:
             writer.write_table(tbl)
@@ -1167,16 +1167,31 @@ def _build_pattern_scores(
             F.col("rn") <= cap_terms
         )
         if plen == 3:
+            # Reachability: ShortQueryProcessor patterns are pad^k+q[:3-k]
+            # and ' '+q for queries whose words are all < 3 chars, so a
+            # 3-char pattern is either pad-prefixed or contains a
+            # delimiter within its 3 chars (the first query word ends by
+            # position 2). Pure-word 3-prefixes ('abc') are never probed
+            # — drop their groups (most of the delta volume).
+            from infidex_spark.kernel.tokenize import DELIMITERS, START_PAD
+
+            delim_class = "[" + "".join(
+                "\\" + c if c in "\\^]-[" else c for c in DELIMITERS
+            ) + "]"
+            reachable = F.col("pattern").startswith(START_PAD) | F.col(
+                "pattern"
+            ).rlike(delim_class)
             # delta-only: the base gram (term == pattern) contributes
             # via its own postings row at query time. EXCEPT pad-prefixed
             # patterns ('￿￿f', '￿fo'): those groups hold only the 1-2
             # doc-head grams per doc, so full materialization is nearly
             # free and saves the probe a base decode.
-            from infidex_spark.kernel.tokenize import START_PAD
-
             p = p.filter(
-                (F.length("term") > plen)
-                | F.col("pattern").startswith(START_PAD)
+                reachable
+                & (
+                    (F.length("term") > plen)
+                    | F.col("pattern").startswith(START_PAD)
+                )
             )
         p = p.select("term", "pattern")
         pats = p if pats is None else pats.unionByName(p)
@@ -1242,7 +1257,8 @@ def _build_pattern_scores(
                 {
                     "pattern": pats_,
                     "doc_ids": out_ids,
-                    "scores": out_w,
+                    # int32: max score = 255 * 4096 < 2^31
+                    "scores": [np.asarray(x, dtype=np.int32) for x in out_w],
                     "n_docs": np.asarray(out_n, dtype=np.int64),
                     "bucket": np.asarray(buckets, dtype=np.int32),
                 }
@@ -1288,7 +1304,7 @@ def _build_pattern_scores(
         .drop("psalt")
         .mapInPandas(
             collect,
-            "pattern string, doc_ids array<long>, scores array<long>, "
+            "pattern string, doc_ids array<long>, scores array<int>, "
             "n_docs long, bucket int",
         )
         .write.mode("overwrite")
@@ -1306,9 +1322,11 @@ def _write_pattern_store(out_dir: str) -> None:
     node memory-maps it and answers a pattern probe with one
     searchsorted + a zero-copy slice of the flattened list children —
     parquet point reads must decode whole row-group column chunks of
-    fat array rows (~0.5 s per probe at 1M docs). Values are cast to
-    uint32 ids (valid below 4B docs per segment) + int32 scores (max
-    255 * 4096 < 2^31), 8 bytes/pair."""
+    fat array rows (~0.5 s per probe at 1M docs). doc ids are cast to
+    uint32 (valid below 4B docs per segment); scores are already int32 —
+    8 bytes/pair. Rows are written in arrival order: the reader argsorts
+    the (tiny) pattern column once at open, so the build pays no global
+    sort/take."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -1325,12 +1343,7 @@ def _write_pattern_store(out_dir: str) -> None:
     tbl = tbl.set_column(
         tbl.schema.get_field_index("doc_ids"), "doc_ids",
         pc.cast(tbl["doc_ids"], pa.list_(pa.uint32())),
-    ).set_column(
-        tbl.schema.get_field_index("scores"), "scores",
-        pc.cast(tbl["scores"], pa.list_(pa.int32())),
-    )
-    order = pa.compute.sort_indices(tbl["pattern"])
-    tbl = tbl.take(order).combine_chunks()
+    ).combine_chunks()
     with pa.OSFile(os.path.join(out_dir, "pattern_scores.arrow"), "wb") as sink:
         with pa.ipc.new_file(sink, tbl.schema) as writer:
             writer.write_table(tbl)

@@ -767,12 +767,13 @@ class IndexReader:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         store = self._open_ps_store()
         if store is not None:
-            pats, ids_flat, sc_flat, offs, n_docs = store
-            i = int(np.searchsorted(pats, pattern))
-            if i >= pats.size or pats[i] != pattern:
+            pats_sorted, order, ids_flat, sc_flat, offs, n_docs = store
+            i = int(np.searchsorted(pats_sorted, pattern))
+            if i >= pats_sorted.size or pats_sorted[i] != pattern:
                 return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-            lo, hi = int(offs[i]), int(offs[i + 1])
-            if int(n_docs[i]) > hi - lo:
+            row = int(order[i])
+            lo, hi = int(offs[row]), int(offs[row + 1])
+            if int(n_docs[row]) > hi - lo:
                 return None  # withheld (cap_docs exceeded at build)
             return ids_flat[lo:hi], sc_flat[lo:hi]
         b = term_bucket(pattern, self._ps_buckets)
@@ -842,8 +843,10 @@ class IndexReader:
 
     def _open_ps_store(self):
         """Memory-map pattern_scores.arrow once: (sorted pattern '<U4'
-        array, flattened doc ids, flattened scores, list offsets, n_docs)
-        — a probe is searchsorted + two zero-copy slices."""
+        array + its row permutation, flattened doc ids/scores, list
+        offsets, n_docs) — rows are stored in arrival order (no build
+        sort); the tiny pattern column is argsorted here, and a probe is
+        one searchsorted + two zero-copy slices."""
         if self._ps_store is None:
             path = os.path.join(self.index_dir, "pattern_scores.arrow")
             if not os.path.isfile(path):
@@ -855,8 +858,11 @@ class IndexReader:
                 tbl = tbl.combine_chunks()
                 ids_col = tbl["doc_ids"].chunk(0)
                 sc_col = tbl["scores"].chunk(0)
+                pats = tbl["pattern"].to_numpy().astype("<U4")
+                order = np.argsort(pats, kind="stable")
                 self._ps_store = (
-                    tbl["pattern"].to_numpy().astype("<U4"),
+                    pats[order],
+                    order,
                     ids_col.values.to_numpy(),
                     sc_col.values.to_numpy(),
                     ids_col.offsets.to_numpy(),
@@ -865,8 +871,10 @@ class IndexReader:
         return self._ps_store or None
 
     def _open_doc_store(self):
-        """Memory-map doc_store.arrow (doc_id-sorted texts) once; returns
-        (sorted doc_id ndarray, text column) or None when absent."""
+        """Memory-map doc_store.arrow once; rows are in arrival order
+        (no build sort) — the doc_id column is argsorted here. Returns
+        (sorted doc_id ndarray, row permutation, text column) or None
+        when absent."""
         if self._doc_store is None:
             path = os.path.join(self.index_dir, "doc_store.arrow")
             if not os.path.isfile(path):
@@ -876,7 +884,9 @@ class IndexReader:
 
                 reader = pa.ipc.open_file(pa.memory_map(path))
                 tbl = reader.read_all()  # zero-copy views over the mmap
-                self._doc_store = (tbl["doc_id"].to_numpy(), tbl["text"])
+                ids = tbl["doc_id"].to_numpy()
+                order = np.argsort(ids, kind="stable")
+                self._doc_store = (ids[order], order, tbl["text"])
         return self._doc_store or None
 
     def doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
@@ -888,13 +898,13 @@ class IndexReader:
             return {}
         store = self._open_doc_store()
         if store is not None:
-            ids_sorted, texts = store
+            ids_sorted, order, texts = store
             want = np.asarray(doc_ids, dtype=np.int64)
             pos = np.searchsorted(ids_sorted, want)
             pos_c = np.clip(pos, 0, max(ids_sorted.size - 1, 0))
             ok = ids_sorted.size > 0
             hit = (ids_sorted[pos_c] == want) if ok else np.zeros(want.size, bool)
-            got = texts.take(pos_c[hit]).to_pylist()
+            got = texts.take(order[pos_c[hit]]).to_pylist()
             return dict(zip(want[hit].tolist(), got))
         if self._doc_meta is None:
             return {}
