@@ -331,6 +331,17 @@ def build_index(
         step_secs[step] = round(now - _last[0], 2)
         _last[0] = now
 
+    # per-job wall clocks for the concurrent aux jobs (they overlap the
+    # coarse step marks above; this attributes scaling behavior per job)
+    aux_secs: dict[str, float] = {}
+
+    def _timed(name: str, fn, *a, **kw):
+        s = time.time()
+        try:
+            return fn(*a, **kw)
+        finally:
+            aux_secs[name] = round(aux_secs.get(name, 0.0) + time.time() - s, 2)
+
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     done_buckets: set[int] = set()
@@ -453,19 +464,25 @@ def build_index(
         return written.agg(F.sum("dl")).collect()[0][0] or 0.0
 
     pool = ThreadPoolExecutor(max_workers=4)
-    fut_doc_stats = pool.submit(_doc_stats_job)
+    fut_doc_stats = pool.submit(_timed, "doc_stats", _doc_stats_job)
     fut_prefixes = (
-        pool.submit(_build_prefixes, docs, out_dir, max_prefix_docs, synonym_map)
+        pool.submit(
+            _timed, "prefixes", _build_prefixes, docs, out_dir,
+            max_prefix_docs, synonym_map, aux_secs,
+        )
         if aux
         else None
     )
     fut_wm_words = (
-        pool.submit(_build_wm_words, docs, out_dir, synonym_map, stop_term_limit)
+        pool.submit(
+            _timed, "wm_words", _build_wm_words, docs, out_dir,
+            synonym_map, stop_term_limit,
+        )
         if aux
         else None
     )
     fut_word_tables = (
-        pool.submit(_build_word_tables, docs, out_dir, synonym_map)
+        pool.submit(_timed, "word_tables", _build_word_tables, docs, out_dir, synonym_map)
         if aux
         else None
     )
@@ -603,9 +620,11 @@ def build_index(
         )
         with ThreadPoolExecutor(max_workers=3) as aux_pool:
             f_var = aux_pool.submit(
-                _build_variants, spark, os.path.join(out_dir, "postings"), out_dir
+                _timed, "variants_dict", _build_variants, spark,
+                os.path.join(out_dir, "postings"), out_dir,
             )
             f_td = aux_pool.submit(
+                _timed, "term_dict",
                 lambda: spark.read.parquet(postings_path)
                 .select("term", "df")
                 .orderBy("term")
@@ -614,7 +633,8 @@ def build_index(
             )
             f_ps = (
                 aux_pool.submit(
-                    _build_pattern_scores, spark, postings_path, out_dir
+                    _timed, "pattern_scores", _build_pattern_scores,
+                    spark, postings_path, out_dir, aux_secs=aux_secs,
                 )
                 if do_ps
                 else None
@@ -674,6 +694,7 @@ def build_index(
         "pattern_scores_fmt": 2 if (aux and do_ps) else None,
         "bucket_groups": bucket_metrics,
         "step_secs": step_secs,
+        "aux_step_secs": aux_secs,
         "synonyms": synonym_map.to_json() if synonym_map is not None else [],
         "lineage": {
             "input_columns": docs.columns,
@@ -874,7 +895,8 @@ def _build_word_tables(docs: DataFrame, out_dir: str, synonym_map=None) -> None:
 
 
 def _build_prefixes(
-    docs: DataFrame, out_dir: str, max_prefix_docs: int, synonym_map=None
+    docs: DataFrame, out_dir: str, max_prefix_docs: int, synonym_map=None,
+    aux_secs: dict | None = None,
 ) -> None:
     """Positional prefix index (B6) + champion lists (B7) + doc metadata
     (B8). Per (prefix of 1..3 chars, doc): first token position, word-start
@@ -1015,7 +1037,10 @@ def _build_prefixes(
     doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
     doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
     doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+    _s = time.time()
     _write_doc_store(out_dir)
+    if aux_secs is not None:
+        aux_secs["doc_store_write"] = round(time.time() - _s, 2)
 
     # ---- counts + capped positional rows
     counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
@@ -1126,6 +1151,7 @@ def _build_pattern_scores(
     out_dir: str,
     cap_terms: int = 4096,
     cap_docs: int = 5_000_000,
+    aux_secs: dict | None = None,
 ) -> None:
     """Short-query pattern aggregates (D10 fast path, format 2): for
     every 2- and 3-char prefix `pattern` of the live dictionary, the
@@ -1146,12 +1172,21 @@ def _build_pattern_scores(
     groups have no base term (min gram size 3) and stay fully
     materialized. Built FROM the encoded postings (no second pass over
     raw tokens): rank terms within prefix, broadcast-join the rank
-    filter, decode+fan out, then one shuffle on (bucket, pattern-salt)
-    into a spillable sort feeding a streaming fold-and-collect (no
-    per-key agg buffers). Patterns with more than cap_docs matched docs
-    store their count but withhold the arrays (row-size bound at
-    extreme corpus sizes); the reader falls back to live expansion for
-    those."""
+    filter, repartition by pattern, then decode + fold per group.
+    Patterns with more than cap_docs matched docs store their count but
+    withhold the arrays (row-size bound at extreme corpus sizes); the
+    reader falls back to live expansion for those.
+
+    Shuffle shape (the scaling-efficiency-defining choice): group
+    members travel through the shuffle as their COMPRESSED postings rows
+    (varint payload + weight bytes, one row per (term, pattern)) and are
+    decoded AFTER the repartition, inside the per-pattern fold. The
+    previous design decoded first and shuffled exploded
+    (pattern, doc_id, w) rows — ~10x the bytes (17 B/posting vs ~1.5 B
+    compressed) plus a posting-granular Tungsten sort; shuffle I/O is
+    the least core-scalable resource on a single node (shared disk), so
+    keeping the shuffle compressed is what preserves N->4N build
+    scaling efficiency."""
     from pyspark.sql.window import Window
 
     posts = spark.read.parquet(postings_path)
@@ -1201,117 +1236,82 @@ def _build_pattern_scores(
         pats = F.broadcast(pats)
     joined = posts.select("term", "payload", "weights", "n_docs").join(pats, "term")
 
-    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    n_buckets = 16
+    n_parts = 64  # shuffle partitions; a pattern's group lands whole
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from infidex_spark.build.codec import decode_postings
 
+        pend_pat = None
+        pend_ids: list[np.ndarray] = []
+        pend_w: list[np.ndarray] = []
+        out_rows: list[tuple] = []
+        flat = [0]
+
+        def close_group() -> None:
+            ids = pend_ids[0] if len(pend_ids) == 1 else np.concatenate(pend_ids)
+            wv = pend_w[0] if len(pend_w) == 1 else np.concatenate(pend_w)
+            order = np.argsort(ids, kind="stable")
+            ids, wv = ids[order], wv[order]
+            u, idx = np.unique(ids, return_index=True)
+            sums = np.add.reduceat(wv, idx)
+            if u.size > cap_docs:
+                out_rows.append((pend_pat, [], np.zeros(0, np.int32), u.size))
+            else:
+                # int32 scores: max = 255 * 4096 < 2^31
+                out_rows.append((pend_pat, u.tolist(), sums.astype(np.int32), u.size))
+                flat[0] += u.size
+
+        def flush() -> pd.DataFrame:
+            pdf = pd.DataFrame(
+                {
+                    "pattern": [r[0] for r in out_rows],
+                    "doc_ids": [r[1] for r in out_rows],
+                    "scores": [r[2] for r in out_rows],
+                    "n_docs": np.asarray([r[3] for r in out_rows], dtype=np.int64),
+                }
+            )
+            out_rows.clear()
+            flat[0] = 0
+            return pdf
+
         for pdf in batches:
-            frames = []
             for pat, payload, weights, n in zip(
                 pdf["pattern"], pdf["payload"], pdf["weights"], pdf["n_docs"]
             ):
+                if pat != pend_pat:
+                    if pend_pat is not None:
+                        close_group()
+                    pend_pat, pend_ids, pend_w = pat, [], []
                 ids, wts = decode_postings(payload, weights, int(n))
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "pattern": pat,
-                            "doc_id": ids,
-                            "w": wts.astype(np.int64),
-                        }
-                    )
-                )
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
-
-    pairs = joined.mapInPandas(explode, "pattern string, doc_id long, w long")
-    n_buckets = 16
-    salts_per_bucket = 4  # partitions = buckets * salts; a pattern stays whole
-    bucketed = pairs.withColumn(
-        "bucket",
-        F.pmod(F.crc32(F.encode("pattern", "utf-8")), F.lit(n_buckets)).cast("int"),
-    ).withColumn(
-        "psalt",
-        F.pmod(F.xxhash64("pattern"), F.lit(salts_per_bucket)).cast("int"),
-    )
-
-    def collect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend_pat: str | None = None
-        pend_bucket = 0
-        pend_ids: list[np.ndarray] = []
-        pend_w: list[np.ndarray] = []
-
-        def emit(pats_, buckets, id_lists, w_lists) -> pd.DataFrame:
-            out_ids, out_w, out_n = [], [], []
-            for ids, wv in zip(id_lists, w_lists):
-                u, idx = np.unique(ids, return_index=True)
-                # rows arrive sorted by doc_id, so reduceat over the
-                # first-occurrence offsets sums each doc's duplicates
-                sums = np.add.reduceat(wv, idx)
-                out_n.append(u.size)
-                if u.size > cap_docs:
-                    out_ids.append([])
-                    out_w.append([])
-                else:
-                    out_ids.append(u.tolist())
-                    out_w.append(sums.tolist())
-            return pd.DataFrame(
-                {
-                    "pattern": pats_,
-                    "doc_ids": out_ids,
-                    # int32: max score = 255 * 4096 < 2^31
-                    "scores": [np.asarray(x, dtype=np.int32) for x in out_w],
-                    "n_docs": np.asarray(out_n, dtype=np.int64),
-                    "bucket": np.asarray(buckets, dtype=np.int32),
-                }
-            )
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pats_ = pdf["pattern"].to_numpy()
-            ids = pdf["doc_id"].to_numpy()
-            wv = pdf["w"].to_numpy()
-            buckets = pdf["bucket"].to_numpy()
-            change = np.empty(len(pats_), dtype=bool)
-            change[0] = True
-            change[1:] = pats_[1:] != pats_[:-1]
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(pats_))
-            out_p, out_b, out_i, out_w = [], [], [], []
-            for s, e in zip(starts.tolist(), ends.tolist()):
-                pat = pats_[s]
-                if pend_pat is not None and pat == pend_pat:
-                    pend_ids.append(ids[s:e])
-                    pend_w.append(wv[s:e])
-                    continue
-                if pend_pat is not None:
-                    out_p.append(pend_pat)
-                    out_b.append(pend_bucket)
-                    out_i.append(np.concatenate(pend_ids))
-                    out_w.append(np.concatenate(pend_w))
-                pend_pat, pend_bucket = pat, int(buckets[s])
-                pend_ids, pend_w = [ids[s:e]], [wv[s:e]]
-            if out_p:
-                yield emit(out_p, out_b, out_i, out_w)
+                pend_ids.append(ids)
+                pend_w.append(wts.astype(np.int64))
+            if flat[0] >= 8_000_000:  # bound the output Arrow batch
+                yield flush()
         if pend_pat is not None:
-            yield emit(
-                [pend_pat], [pend_bucket],
-                [np.concatenate(pend_ids)], [np.concatenate(pend_w)],
-            )
+            close_group()
+        if out_rows:
+            yield flush()
 
     (
-        bucketed.repartition(n_buckets * salts_per_bucket, "bucket", "psalt")
-        .sortWithinPartitions("pattern", "doc_id")
-        .drop("psalt")
+        joined.repartition(n_parts, "pattern")
+        .sortWithinPartitions("pattern", "term")
         .mapInPandas(
-            collect,
-            "pattern string, doc_ids array<long>, scores array<int>, "
-            "n_docs long, bucket int",
+            fold,
+            "pattern string, doc_ids array<long>, scores array<int>, n_docs long",
+        )
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode("pattern", "utf-8")), F.lit(n_buckets)).cast("int"),
         )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "pattern_scores"))
     )
+    _s = time.time()
     _write_pattern_store(out_dir)
+    if aux_secs is not None:
+        aux_secs["pattern_store_write"] = round(time.time() - _s, 2)
 
 
 PATTERN_STORE_CAP = 600_000_000  # total (pattern, doc) pairs
