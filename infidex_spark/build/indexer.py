@@ -786,8 +786,12 @@ def _build_wm_words(
                 {
                     "word": words,
                     "doc_ids": [ids[:max_list].tolist() for ids in id_lists],
+                    # TRUE count, even when the list is capped: n_docs >
+                    # len(doc_ids) signals truncation (same convention as
+                    # pattern_scores' withheld rows), so a reader can
+                    # distinguish an exactly-max_list list from a cut one
                     "n_docs": np.fromiter(
-                        (min(len(i), max_list) for i in id_lists),
+                        (len(i) for i in id_lists),
                         dtype=np.int64, count=len(id_lists),
                     ),
                     "bucket": np.asarray(buckets, dtype=np.int32),
