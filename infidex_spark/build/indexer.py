@@ -182,24 +182,30 @@ def tokenize_docs_fields(
     return docs.select("doc_id", *cols).mapInPandas(run, schema=FIELDS_TOKENS_SCHEMA)
 
 
-def _encode_sorted_stream():
+def _encode_sorted_stream(n_buckets: int):
     """mapInPandas encoder over a bucket-partitioned, term-sorted token
-    stream: rows (term, packed, dfc, bucket) sorted by (term, packed)
-    within the partition. Groups are detected by term change; the rows of
-    each batch's final term are carried into the next batch (a hot term's
+    stream: rows (term, packed, dfc) sorted by (term, packed) within the
+    partition. Groups are detected by term change; the rows of each
+    batch's final term are carried into the next batch (a hot term's
     postings may span Arrow batches), so no group is ever split.
 
     This is the sort-merge merge step: one shuffle (by term bucket), one
     sort, one streaming numpy pass — no collect_list materialization.
+
+    The bucket is recomputed here (one crc32 per OUTPUT term, matching
+    the query driver's term_bucket) instead of riding the shuffle as a
+    column: shuffle rows are posting-granular, so every dropped 8-byte
+    field saves n_postings * 8 bytes of shuffle I/O — the least
+    core-scalable resource on a node.
     """
+    import zlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pend_term: str | None = None
-        pend_bucket = 0
         pend_packed: list[np.ndarray] = []
         pend_dfc = 0
 
-        def encode_group(terms, buckets, packed_lists, dfs) -> pd.DataFrame:
+        def encode_group(terms, packed_lists, dfs) -> pd.DataFrame:
             enc = encode_postings_batch(packed_lists)
             return pd.DataFrame(
                 {
@@ -212,7 +218,10 @@ def _encode_sorted_stream():
                     "block_last_doc": enc["block_last_doc"],
                     "block_max_w": enc["block_max_w"],
                     "block_offsets": enc["block_offsets"],
-                    "bucket": np.asarray(buckets, dtype=np.int32),
+                    "bucket": np.asarray(
+                        [zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms],
+                        dtype=np.int32,
+                    ),
                 }
             )
 
@@ -222,7 +231,6 @@ def _encode_sorted_stream():
             terms = pdf["term"].to_numpy()
             packed = pdf["packed"].to_numpy()
             dfc = pdf["dfc"].to_numpy()
-            bucket = pdf["bucket"].to_numpy()
             # group boundaries by term change
             change = np.empty(len(terms), dtype=bool)
             change[0] = True
@@ -230,7 +238,7 @@ def _encode_sorted_stream():
             starts = np.flatnonzero(change)
             ends = np.append(starts[1:], len(terms))
 
-            out_terms, out_buckets, out_lists, out_dfs = [], [], [], []
+            out_terms, out_lists, out_dfs = [], [], []
             for gi in range(len(starts)):
                 s, e = int(starts[gi]), int(ends[gi])
                 t = terms[s]
@@ -240,7 +248,6 @@ def _encode_sorted_stream():
                     pend_dfc += int(dfc[s:e].sum())
                     if not is_last:
                         out_terms.append(pend_term)
-                        out_buckets.append(pend_bucket)
                         out_lists.append(np.concatenate(pend_packed))
                         out_dfs.append(pend_dfc)
                         pend_term, pend_packed, pend_dfc = None, [], 0
@@ -248,25 +255,22 @@ def _encode_sorted_stream():
                 if pend_term is not None:
                     # pending term ended at the batch boundary
                     out_terms.append(pend_term)
-                    out_buckets.append(pend_bucket)
                     out_lists.append(np.concatenate(pend_packed))
                     out_dfs.append(pend_dfc)
                     pend_term, pend_packed, pend_dfc = None, [], 0
                 if is_last:
                     pend_term = t
-                    pend_bucket = int(bucket[s])
                     pend_packed = [packed[s:e]]
                     pend_dfc = int(dfc[s:e].sum())
                 else:
                     out_terms.append(t)
-                    out_buckets.append(int(bucket[s]))
                     out_lists.append(packed[s:e])
                     out_dfs.append(int(dfc[s:e].sum()))
             if out_terms:
-                yield encode_group(out_terms, out_buckets, out_lists, out_dfs)
+                yield encode_group(out_terms, out_lists, out_dfs)
         if pend_term is not None:
             yield encode_group(
-                [pend_term], [pend_bucket], [np.concatenate(pend_packed)], [pend_dfc]
+                [pend_term], [np.concatenate(pend_packed)], [pend_dfc]
             )
 
     return run
@@ -419,8 +423,21 @@ def build_index(
         "overwrite"
     ).parquet(stop_dir)
     stop_tdf = spark.read.parquet(stop_dir)
-    n_stop = stop_tdf.count()
-    stop_sample = [r.term for r in stop_tdf.orderBy("term").limit(100).collect()]
+    # row count from the just-written parquet footers (metadata only, no
+    # Spark job — this sits on the serial critical path before postings)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n_stop = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in _glob.glob(os.path.join(stop_dir, "*.parquet"))
+    )
+    stop_sample = (
+        [r.term for r in stop_tdf.orderBy("term").limit(100).collect()]
+        if n_stop
+        else []
+    )
     if n_stop:
         live = tokens.join(stop_tdf, "term", "left_anti")
     else:
@@ -463,7 +480,10 @@ def build_index(
         written = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
         return written.agg(F.sum("dl")).collect()[0][0] or 0.0
 
-    pool = ThreadPoolExecutor(max_workers=4)
+    # sized for: doc_stats + prefixes + wm_words + word_tables (phase 1)
+    # plus checkpoints + variants + term_dict + pattern_scores (phase 2,
+    # submitted while phase-1 tails may still run)
+    pool = ThreadPoolExecutor(max_workers=8)
     fut_doc_stats = pool.submit(_timed, "doc_stats", _doc_stats_job)
     fut_prefixes = (
         pool.submit(
@@ -495,11 +515,14 @@ def build_index(
     # unique per term so ordering is unaffected).
     packed = live.withColumn(
         "packed", F.shiftleft(F.col("doc_id"), 8) + F.col("tf")
-    ).withColumn(
-        # crc32 (not xxhash64): the query driver computes the same bucket in
-        # pure Python (zlib.crc32) for partition pruning on point lookups
-        "bucket",
-        F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast("int"),
+    )
+    # crc32 (not xxhash64): the query driver computes the same bucket in
+    # pure Python (zlib.crc32) for partition pruning on point lookups.
+    # Used as a bare expression for filter/repartition so the bucket never
+    # rides the posting-granular shuffle rows (8 bytes * n_postings saved;
+    # the encoder recomputes it once per output term).
+    bucket_expr = F.pmod(F.crc32(F.encode("term", "utf-8")), F.lit(n_buckets)).cast(
+        "int"
     )
 
     if strategy == "salted-agg":
@@ -507,12 +530,13 @@ def build_index(
         # aggregation with explicit salting of the Zipf head (terms with
         # df > hot_df_threshold, already collected with the stop set) —
         # two-stage partial merge for hot terms, single-stage for the tail.
+        packed_b = packed.withColumn("bucket", bucket_expr)
         if hot_rows:
             hot_terms = spark.createDataFrame([(t,) for t in hot_rows], "term string")
-            cold_src = packed.join(F.broadcast(hot_terms), "term", "left_anti")
-            hot_src = packed.join(F.broadcast(hot_terms), "term", "left_semi")
+            cold_src = packed_b.join(F.broadcast(hot_terms), "term", "left_anti")
+            hot_src = packed_b.join(F.broadcast(hot_terms), "term", "left_semi")
         else:
-            cold_src, hot_src = packed, None
+            cold_src, hot_src = packed_b, None
         cold = cold_src.groupBy("term", "bucket").agg(
             F.array_sort(F.collect_list("packed")).alias("postings"),
             F.sum("dfc").alias("df"),
@@ -549,26 +573,29 @@ def build_index(
             .withColumn(
                 "dfc", F.when(F.col("pos") == 0, F.col("df")).otherwise(F.lit(0))
             )
-            .select("term", "packed", "dfc", "bucket")
+            .select("term", "packed", "dfc")
         )
     else:
-        src = packed.select("term", "packed", "dfc", "bucket")
+        src = packed.select("term", "packed", "dfc")
 
     bucket_metrics = []
+    ck_futs = []
     for group in groups:
         todo = [b for b in group if b not in done_buckets]
         if not todo:
             continue
         g0 = time.time()
         part_df = (
-            src.filter(F.col("bucket").isin(todo))
-            .repartition(max(len(todo), 1), "bucket")
+            # bucket as a bare expression: evaluated for partitioning but
+            # never materialized into the posting-granular shuffle rows
+            src.filter(bucket_expr.isin(todo))
+            .repartition(max(len(todo), 1), bucket_expr)
             # leading 64-bit hash makes the Tungsten sort radix-friendly;
             # term as secondary key keeps equal terms contiguous under
             # hash collisions (encoder groups by term change, so the
             # arbitrary hash order across terms is fine)
             .sortWithinPartitions(F.xxhash64("term"), "term", "packed")
-            .mapInPandas(_encode_sorted_stream(), schema=POSTINGS_SCHEMA)
+            .mapInPandas(_encode_sorted_stream(n_buckets), schema=POSTINGS_SCHEMA)
             # re-sort the compact per-term rows by term so parquet
             # row-group min/max stats stay selective for point lookups
             # (cheap: one row per term, vs the per-posting stream above)
@@ -576,26 +603,62 @@ def build_index(
         )
         # non-resume runs cleared the dir up front, so append is always safe
         part_df.write.mode("append").partitionBy("bucket").parquet(postings_path)
-        stats = (
-            spark.read.parquet(postings_path)
-            .filter(F.col("bucket").isin(todo))
-            .groupBy("bucket")
-            .agg(
-                F.count("*").alias("n_terms"),
-                F.sum("n_docs").alias("n_postings"),
-                F.sum(F.length("payload") + F.length("weights")).alias("bytes_compressed"),
-            )
-        )
         elapsed = time.time() - g0
-        ck = stats.withColumn("wall_sec", F.lit(elapsed)).withColumn(
-            "input_docs", F.lit(n_docs_total)
-        ).withColumn("completed_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())))
-        ck.write.mode("append").parquet(ckpt_dir)
+
+        def _ck_job(todo=todo, elapsed=elapsed):
+            # lineage/metrics read-back runs OFF the critical path (in the
+            # shared pool): it only reads files this group already wrote
+            stats = (
+                spark.read.parquet(postings_path)
+                .filter(F.col("bucket").isin(todo))
+                .groupBy("bucket")
+                .agg(
+                    F.count("*").alias("n_terms"),
+                    F.sum("n_docs").alias("n_postings"),
+                    F.sum(F.length("payload") + F.length("weights")).alias("bytes_compressed"),
+                )
+            )
+            ck = stats.withColumn("wall_sec", F.lit(elapsed)).withColumn(
+                "input_docs", F.lit(n_docs_total)
+            ).withColumn("completed_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())))
+            ck.write.mode("append").parquet(ckpt_dir)
+
+        ck_futs.append(pool.submit(_timed, "checkpoints", _ck_job))
         bucket_metrics.append({"buckets": todo, "wall_sec": elapsed})
         done_buckets.update(todo)
 
     _mark("postings")
-    # join the concurrent jobs (propagates their exceptions)
+    # ---- phase-2 aux (LD1 variants + sorted term dictionary +
+    # short-query pattern aggregates): these depend ONLY on the written
+    # postings, so submit them NOW — their stages overlap the tails of the
+    # still-running doc-derived jobs (prefixes/wm_words/word_tables)
+    # instead of serializing after them.
+    do_ps = False
+    f_var = f_td = f_ps = None
+    if aux:
+        do_ps = (
+            short_precompute
+            if short_precompute is not None
+            else n_docs_total >= 100_000
+        )
+        f_var = pool.submit(
+            _timed, "variants_dict", _build_variants, spark,
+            os.path.join(out_dir, "postings"), out_dir,
+        )
+        f_td = pool.submit(
+            _timed, "term_dict",
+            lambda: spark.read.parquet(postings_path)
+            .select("term", "df")
+            .orderBy("term")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "term_dict"))
+        )
+        if do_ps:
+            f_ps = pool.submit(
+                _timed, "pattern_scores", _build_pattern_scores,
+                spark, postings_path, out_dir, aux_secs=aux_secs,
+            )
+    # join the concurrent doc-derived jobs (propagates their exceptions)
     sum_dl = fut_doc_stats.result()
     avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
     if fut_prefixes is not None:
@@ -604,47 +667,17 @@ def build_index(
         fut_wm_words.result()
     if fut_word_tables is not None:
         fut_word_tables.result()
-    pool.shutdown()
     _mark("join_doc_stats_prefixes")
-    do_ps = False
-    if aux:
-        # ---- LD1 symmetric-delete variants + sorted term dictionary
-        # (B5/D10: lexicographic (term, df) parquet, the FST stand-in for
-        # prefix-range scans) + short-query pattern aggregates. All read
-        # the final postings, independent of each other -> concurrent
-        # Spark jobs.
-        do_ps = (
-            short_precompute
-            if short_precompute is not None
-            else n_docs_total >= 100_000
-        )
-        with ThreadPoolExecutor(max_workers=3) as aux_pool:
-            f_var = aux_pool.submit(
-                _timed, "variants_dict", _build_variants, spark,
-                os.path.join(out_dir, "postings"), out_dir,
-            )
-            f_td = aux_pool.submit(
-                _timed, "term_dict",
-                lambda: spark.read.parquet(postings_path)
-                .select("term", "df")
-                .orderBy("term")
-                .write.mode("overwrite")
-                .parquet(os.path.join(out_dir, "term_dict"))
-            )
-            f_ps = (
-                aux_pool.submit(
-                    _timed, "pattern_scores", _build_pattern_scores,
-                    spark, postings_path, out_dir, aux_secs=aux_secs,
-                )
-                if do_ps
-                else None
-            )
-            f_var.result()
-            f_td.result()
-            if f_ps is not None:
-                f_ps.result()
-        _mark("variants")
-
+    for fut in ck_futs:
+        fut.result()
+    if f_var is not None:
+        f_var.result()
+    if f_td is not None:
+        f_td.result()
+    if f_ps is not None:
+        f_ps.result()
+    pool.shutdown()
+    _mark("variants")
     if tokens_storage == "memory":
         tokens.unpersist()
     elif not keep_tokens:
