@@ -14,11 +14,13 @@ Dataflow (default strategy="sortmerge"):
                 -> sortWithinPartitions(term, packed)          [spillable sort]
                 -> streaming Arrow pass: run-length group by term,
                    delta+varint encode, per-block byte offsets + max scores
-    concurrent aux jobs (thread pool; their stages fill scheduler gaps):
-            prefixes/champions/doc_meta, wm_words (word postings, same
-            sort-merge shape), words/words_rev/word_variants
-    after postings: variants (gram symmetric-delete) + term_dict (sorted
-            dictionary for prefix-range scans), concurrently
+    concurrent aux jobs (one shared thread pool; their stages fill
+            scheduler gaps): prefixes/champions/doc_meta, wm_words (word
+            postings, same sort-merge shape), words/words_rev/word_variants
+    as soon as postings land (overlapping the doc-derived jobs' tails):
+            variants (gram symmetric-delete), term_dict (sorted dictionary
+            for prefix-range scans), pattern_scores (short-query
+            aggregates), per-group checkpoint/metrics read-back
     writes: postings/ (parquet, partitioned by term bucket), doc_stats/,
             stop_terms/, prefixes/, champions/, prefix_postings/,
             doc_meta/, wm_words/, words/, words_rev/, word_variants/,
@@ -37,7 +39,9 @@ Skew (Zipfian 3-grams at 10^12 docs):
   salted two-stage partial merge — useful when a downstream consumer
   wants materialized posting arrays instead of encoded payloads;
 - bucket partitioning on crc32(term) + sortWithinPartitions(term) gives
-  the query path partition pruning + parquet min/max row-group skipping.
+  the query path partition pruning + parquet min/max row-group skipping;
+  the bucket is a bare expression at shuffle time (never a column on the
+  posting-granular rows) and is recomputed per output term by the encoder.
 
 Checkpoint/resume: postings are written one bucket-group at a time; each
 completed group appends per-bucket checkpoint rows (lineage: input
@@ -271,6 +275,152 @@ def _encode_sorted_stream(n_buckets: int):
         if pend_term is not None:
             yield encode_group(
                 [pend_term], [np.concatenate(pend_packed)], [pend_dfc]
+            )
+
+    return run
+
+
+PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("df", T.LongType(), False),
+        T.StructField("n_docs", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("weights", T.BinaryType(), False),
+    ]
+)
+
+
+def _partial_encode_stream():
+    """Map-side partial posting encode (the scaling-defining stage): each
+    INPUT partition of (term, packed, dfc) rows is sorted locally and
+    every term run is compressed into a varint-delta partial blob, so the
+    term-bucket shuffle ships ~1.5-2.5 B/posting instead of the ~40 B/row
+    a posting-granular Exchange pays. Shuffle disk bandwidth is shared
+    across cores (it does not scale from N to 4N on a node), so shrinking
+    shuffle bytes is what preserves build scaling efficiency; the decode +
+    merge CPU this adds on the reduce side is Python/numpy work that DOES
+    scale with cores. Zipf skew note: a hot term contributes one partial
+    per input partition (bounded rows), a tail term degenerates to one
+    ~posting-sized row — the hot head, which dominates posting volume, is
+    exactly where the compression wins."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        terms_l, packed_l, dfc_l = [], [], []
+        for pdf in batches:
+            if len(pdf):
+                terms_l.append(pdf["term"].to_numpy())
+                packed_l.append(pdf["packed"].to_numpy())
+                dfc_l.append(pdf["dfc"].to_numpy())
+        if not terms_l:
+            return
+        terms = np.concatenate(terms_l)
+        packed = np.concatenate(packed_l)
+        dfc = np.concatenate(dfc_l)
+        # contiguity, not lexicographic order, is all the grouping needs:
+        # factorize to int codes (O(n) hash) and sort (code, packed) —
+        # far cheaper than comparing Python strings in the sort
+        codes, uniques = pd.factorize(terms)
+        order = np.lexsort((packed, codes))
+        codes, packed, dfc = codes[order], packed[order], dfc[order]
+        change = np.empty(codes.size, dtype=bool)
+        change[0] = True
+        change[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], codes.size)
+        packed_lists = [packed[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+        enc = encode_postings_batch(packed_lists)
+        dfs = np.add.reduceat(dfc, starts)
+        yield pd.DataFrame(
+            {
+                "term": np.asarray(uniques, dtype=object)[codes[starts]],
+                "df": dfs.astype(np.int64),
+                "n_docs": np.asarray(enc["n_docs"], dtype=np.int64),
+                "payload": enc["payload"],
+                "weights": enc["weights"],
+            }
+        )
+
+    return run
+
+
+def _merge_partial_stream(n_buckets: int):
+    """Reduce-side merge of partial posting blobs into the final encoded
+    rows (bit-identical to encoding the raw sorted stream: doc ids are
+    unique per term, so sort-after-concat reproduces the global doc
+    order). Rows arrive term-contiguous (sorted by xxhash64(term), term);
+    a term's partials may span Arrow batches, so the last group of each
+    batch is carried forward — the same no-split invariant as
+    _encode_sorted_stream."""
+    import zlib
+
+    from infidex_spark.build.codec import decode_postings
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pend_term: str | None = None
+        pend_parts: list[tuple[bytes, bytes, int]] = []
+        pend_df = 0
+
+        def merge_group(parts) -> np.ndarray:
+            if len(parts) == 1:
+                p, w, n = parts[0]
+                ids, wts = decode_postings(p, w, int(n))
+            else:
+                idl, wl = [], []
+                for p, w, n in parts:
+                    i_, w_ = decode_postings(p, w, int(n))
+                    idl.append(i_)
+                    wl.append(w_)
+                ids = np.concatenate(idl)
+                wts = np.concatenate(wl)
+                order = np.argsort(ids)
+                ids, wts = ids[order], wts[order]
+            return (ids << 8) | wts.astype(np.int64)
+
+        def encode_group(terms, packed_lists, dfs) -> pd.DataFrame:
+            enc = encode_postings_batch(packed_lists)
+            return pd.DataFrame(
+                {
+                    "term": terms,
+                    "df": np.asarray(dfs, dtype=np.int64),
+                    "n_docs": enc["n_docs"],
+                    "max_tf": enc["max_tf"],
+                    "payload": enc["payload"],
+                    "weights": enc["weights"],
+                    "block_last_doc": enc["block_last_doc"],
+                    "block_max_w": enc["block_max_w"],
+                    "block_offsets": enc["block_offsets"],
+                    "bucket": np.asarray(
+                        [zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms],
+                        dtype=np.int32,
+                    ),
+                }
+            )
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            terms = pdf["term"].to_numpy()
+            dfs_in = pdf["df"].to_numpy()
+            ns = pdf["n_docs"].to_numpy()
+            payloads = pdf["payload"].to_numpy()
+            weights = pdf["weights"].to_numpy()
+            out_terms, out_lists, out_dfs = [], [], []
+            for i in range(len(terms)):
+                t = terms[i]
+                if t != pend_term:
+                    if pend_term is not None:
+                        out_terms.append(pend_term)
+                        out_lists.append(merge_group(pend_parts))
+                        out_dfs.append(pend_df)
+                    pend_term, pend_parts, pend_df = t, [], 0
+                pend_parts.append((payloads[i], weights[i], ns[i]))
+                pend_df += int(dfs_in[i])
+            if out_terms:
+                yield encode_group(out_terms, out_lists, out_dfs)
+        if pend_term is not None:
+            yield encode_group(
+                [pend_term], [merge_group(pend_parts)], [pend_df]
             )
 
     return run
@@ -585,22 +735,36 @@ def build_index(
         if not todo:
             continue
         g0 = time.time()
-        part_df = (
-            # bucket as a bare expression: evaluated for partitioning but
-            # never materialized into the posting-granular shuffle rows
-            src.filter(bucket_expr.isin(todo))
-            .repartition(max(len(todo), 1), bucket_expr)
-            # leading 64-bit hash makes the Tungsten sort radix-friendly;
-            # term as secondary key keeps equal terms contiguous under
-            # hash collisions (encoder groups by term change, so the
-            # arbitrary hash order across terms is fine)
-            .sortWithinPartitions(F.xxhash64("term"), "term", "packed")
-            .mapInPandas(_encode_sorted_stream(n_buckets), schema=POSTINGS_SCHEMA)
-            # re-sort the compact per-term rows by term so parquet
-            # row-group min/max stats stay selective for point lookups
-            # (cheap: one row per term, vs the per-posting stream above)
-            .sortWithinPartitions("term")
-        )
+        if strategy == "salted-agg":
+            part_df = (
+                # bucket as a bare expression: evaluated for partitioning
+                # but never materialized into the shuffle rows
+                src.filter(bucket_expr.isin(todo))
+                .repartition(max(len(todo), 1), bucket_expr)
+                # leading 64-bit hash makes the Tungsten sort radix-
+                # friendly; term as secondary key keeps equal terms
+                # contiguous under hash collisions (encoder groups by term
+                # change, so the arbitrary hash order across terms is fine)
+                .sortWithinPartitions(F.xxhash64("term"), "term", "packed")
+                .mapInPandas(_encode_sorted_stream(n_buckets), schema=POSTINGS_SCHEMA)
+                .sortWithinPartitions("term")
+            )
+        else:
+            part_df = (
+                # sortmerge default: map-side partial encode -> the
+                # Exchange ships term-granular compressed partials (~2
+                # B/posting, not ~40 B/row) -> reduce-side merge
+                src.filter(bucket_expr.isin(todo))
+                .mapInPandas(_partial_encode_stream(), schema=PARTIAL_SCHEMA)
+                .repartition(max(len(todo), 1), bucket_expr)
+                # partials of one term need only contiguity; their
+                # relative order is irrelevant (merge re-sorts by doc id)
+                .sortWithinPartitions(F.xxhash64("term"), "term")
+                .mapInPandas(_merge_partial_stream(n_buckets), schema=POSTINGS_SCHEMA)
+                # re-sort the compact per-term rows by term so parquet
+                # row-group min/max stats stay selective for point lookups
+                .sortWithinPartitions("term")
+            )
         # non-resume runs cleared the dir up front, so append is always safe
         part_df.write.mode("append").partitionBy("bucket").parquet(postings_path)
         elapsed = time.time() - g0
