@@ -107,3 +107,46 @@ def test_wand_equals_exhaustive(built_index, query):
     np.testing.assert_allclose(
         [s for _, s in wand], [s for _, s in full], rtol=1e-5
     )
+
+
+def test_partial_merge_identical_to_row_encoder(spark, reference_docs, tmp_path):
+    """The default sortmerge path (map-side partial encode + reduce-side
+    merge) must produce byte-identical postings to the row-granular
+    encoder (salted-agg feeds every posting row through
+    _encode_sorted_stream), including hot terms whose partials span many
+    input partitions."""
+    import pyarrow.dataset as ds
+
+    docs = spark.createDataFrame(
+        [(i, key, text) for i, (key, text) in enumerate(reference_docs)],
+        "doc_id long, doc_key long, text string",
+    ).repartition(8)  # force multiple partials per term
+    out_a = str(tmp_path / "idx_partial")
+    out_b = str(tmp_path / "idx_rows")
+    build_index(spark, docs, out_a, n_buckets=2, salts=2, aux=False)
+    build_index(
+        spark, docs, out_b, n_buckets=2, salts=2, aux=False,
+        strategy="salted-agg", hot_df_threshold=1,
+    )
+
+    def rows(path):
+        t = ds.dataset(
+            os.path.join(path, "postings"), format="parquet", partitioning="hive"
+        ).to_table(
+            columns=["term", "df", "n_docs", "max_tf", "payload", "weights",
+                     "block_last_doc", "block_max_w", "block_offsets", "bucket"]
+        )
+        pdf = t.to_pandas().sort_values("term").reset_index(drop=True)
+        return [
+            (
+                r.term, r.df, r.n_docs, r.max_tf,
+                bytes(r.payload), bytes(r.weights),
+                list(r.block_last_doc), list(r.block_max_w),
+                list(r.block_offsets), r.bucket,
+            )
+            for r in pdf.itertuples()
+        ]
+
+    a, b = rows(out_a), rows(out_b)
+    assert len(a) == len(b) > 0
+    assert a == b
