@@ -15,8 +15,9 @@ Dataflow (default strategy="sortmerge"):
                 -> streaming Arrow pass: run-length group by term,
                    delta+varint encode, per-block byte offsets + max scores
     concurrent aux jobs (one shared thread pool; their stages fill
-            scheduler gaps): prefixes/champions/doc_meta, wm_words (word
-            postings, same sort-merge shape), words/words_rev/word_variants
+            scheduler gaps): prefixes/champions/doc_meta, and the word
+            family (ONE normalize+split pass -> persisted (doc, word)
+            pairs -> wm_words + sq_words1 + words/words_rev/word_variants)
     as soon as postings land (overlapping the doc-derived jobs' tails):
             variants (gram symmetric-delete), term_dict (sorted dictionary
             for prefix-range scans), pattern_scores (short-query
@@ -643,16 +644,11 @@ def build_index(
         if aux
         else None
     )
-    fut_wm_words = (
+    fut_word_family = (
         pool.submit(
-            _timed, "wm_words", _build_wm_words, docs, out_dir,
+            _timed, "word_family", _build_word_family, docs, out_dir,
             synonym_map, stop_term_limit,
         )
-        if aux
-        else None
-    )
-    fut_word_tables = (
-        pool.submit(_timed, "word_tables", _build_word_tables, docs, out_dir, synonym_map)
         if aux
         else None
     )
@@ -827,10 +823,8 @@ def build_index(
     avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
     if fut_prefixes is not None:
         fut_prefixes.result()
-    if fut_wm_words is not None:
-        fut_wm_words.result()
-    if fut_word_tables is not None:
-        fut_word_tables.result()
+    if fut_word_family is not None:
+        fut_word_family.result()
     _mark("join_doc_stats_prefixes")
     for fut in ck_futs:
         fut.result()
@@ -916,61 +910,62 @@ _PREFIX_SCHEMA = T.StructType(
 _CHAMPION_LIST_SIZE = 64  # ShortQueryResolver.ChampionListSize
 
 
-def _build_wm_words(
+def _build_word_family(
     docs: DataFrame, out_dir: str, synonym_map=None, max_list: int = 1_250_000
 ) -> None:
-    """WordMatcher word-level postings (B9, WordMatcher.cs Load): word
-    (len >= 2) -> sorted doc ids, independent of gram stop demotion —
-    len-2 words and stop-demoted words keep their WM postings, exactly as
-    the reference's separate exact/LD1/FST indexes do. Lists are capped at
-    max_list ids (the reference's Term growth cap) and the table is
-    written sorted by word so point fetches prune by row-group min/max."""
+    """One normalize+split pass feeding every word-level table:
 
-    def make_extract(min_len: int, max_len: int | None):
-        def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from infidex_spark.kernel.normalize import normalize_series
-            from infidex_spark.build.tokenizer import _DELIM_SPLIT
+    - wm_words (B9, WordMatcher.cs Load): word (len >= 2) -> sorted doc
+      ids, independent of gram stop demotion — len-2 words and
+      stop-demoted words keep their WM postings, exactly as the
+      reference's separate exact/LD1/FST indexes do. Lists are capped at
+      max_list ids (the reference's Term growth cap; n_docs keeps the
+      TRUE count so n_docs > len(doc_ids) signals truncation) and the
+      table is written word-sorted for row-group min/max pruning.
+    - sq_words1: len-1 words -> sorted doc ids (short-query precedence
+      fast path; the reference WordMatcher never indexes these).
+    - words / words_rev (B4 + disk affix ranges) and word_variants
+      (symmetric-delete over 2-8 char words) for the rerank's word
+      lookups below and above the in-memory cap.
 
-            for pdf in batches:
-                texts = normalize_series(pdf["text"].fillna("")).str.lower()
-                if synonym_map is not None and synonym_map.has_mappings:
-                    texts = synonym_map.canonicalize_series(texts)
-                words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-                lens = words.str.len()
-                sel = lens >= min_len
-                if max_len is not None:
-                    sel &= lens <= max_len
-                words = words[sel]
-                if not len(words):
-                    continue
-                ids = pdf["doc_id"].to_numpy()
-                frame = pd.DataFrame(
-                    {
-                        "doc_id": ids[words.index.to_numpy(np.int64)],
-                        "word": words.to_numpy(),
-                    }
-                ).drop_duplicates()
-                yield frame
+    These previously ran as three separate Arrow passes, each
+    re-normalizing and re-splitting every text. The passes are
+    memory-bandwidth-bound (unicode fold + regex split over the whole
+    corpus), and memory bandwidth is shared across cores — it is the
+    component that does NOT scale from N to 4N on a node — so the
+    deduped (doc_id, word) pair stream is computed ONCE and persisted
+    (columnar-compressed, MEMORY_AND_DISK) for the three consumers. At
+    extreme corpus sizes the same stream would go to parquet instead,
+    the tokens_storage trade-off."""
+    spark = docs.sparkSession
 
-        return extract
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _DELIM_SPLIT
 
-    pairs = docs.select("doc_id", "text").mapInPandas(
-        make_extract(2, None), "doc_id long, word string"
-    )
-    # len-1 words feed the short-query precedence fast path (sq_words1):
-    # the reference WordMatcher never indexes them, so they live in a
-    # separate tiny table. Recomputing the cheap extract beats
-    # persisting the 10^8-row pair stream (memory pressure at scale).
-    sq1 = docs.select("doc_id", "text").mapInPandas(
-        make_extract(1, 1), "doc_id long, word string"
-    )
-    # same physical shape as the postings build: one shuffle on the word
-    # bucket, a spillable sort, and a streaming group collector — no
-    # collect_set/array_sort agg buffers (hot words would make those the
-    # dominant build cost)
-    n_buckets = 32
-    bucketed = pairs.withColumn(
-        "bucket", F.pmod(F.crc32(F.encode("word", "utf-8")), F.lit(n_buckets)).cast("int")
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
+            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+            words = words[words.str.len() >= 1]
+            if not len(words):
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            frame = pd.DataFrame(
+                {
+                    "doc_id": ids[words.index.to_numpy(np.int64)],
+                    "word": words.to_numpy(),
+                }
+            ).drop_duplicates()
+            yield frame
+
+    from pyspark import StorageLevel
+
+    pairs = (
+        docs.select("doc_id", "text")
+        .mapInPandas(extract, "doc_id long, word string")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     def collect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1022,8 +1017,18 @@ def _build_wm_words(
         if pend_word is not None:
             yield emit([pend_word], [pend_bucket], [np.concatenate(pend_ids)])
 
+    # wm_words: same physical shape as the postings build — one shuffle
+    # on the word bucket, a spillable sort, and a streaming group
+    # collector, no collect_set/array_sort agg buffers (hot words would
+    # make those the dominant build cost)
+    n_buckets = 32
     (
-        bucketed.repartition(n_buckets, "bucket")
+        pairs.filter(F.length("word") >= 2)
+        .withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.encode("word", "utf-8")), F.lit(n_buckets)).cast("int"),
+        )
+        .repartition(n_buckets, "bucket")
         .sortWithinPartitions("word", "doc_id")
         .mapInPandas(
             collect, "word string, doc_ids array<long>, n_docs long, bucket int"
@@ -1032,10 +1037,10 @@ def _build_wm_words(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "wm_words"))
     )
-    # sq_words1: word (len == 1) -> sorted doc ids, alphabet-sized table
-    # (same streaming collector, few buckets)
+    # sq_words1: alphabet-sized table (same streaming collector, few buckets)
     (
-        sq1.withColumn(
+        pairs.filter(F.length("word") == 1)
+        .withColumn(
             "bucket",
             F.pmod(F.crc32(F.encode("word", "utf-8")), F.lit(4)).cast("int"),
         )
@@ -1048,42 +1053,14 @@ def _build_wm_words(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "sq_words1"))
     )
-
-
-def _build_word_tables(docs: DataFrame, out_dir: str, synonym_map=None) -> None:
-    """Word-level df table (B4) plus the disk affix/LD1 structures: words
-    sorted by word (prefix ranges), words_rev sorted by reversed word
-    (suffix ranges), word_variants (symmetric-delete over 2-8 char
-    words). These serve the rerank's word lookups both below the
-    executor's in-memory cap (loaded as a dict) and above it (bounded
-    range scans)."""
-
-    def words_pass(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from infidex_spark.kernel.normalize import normalize_series
-        from infidex_spark.build.tokenizer import _DELIM_SPLIT
-
-        for pdf in batches:
-            texts = normalize_series(pdf["text"].fillna("")).str.lower()
-            if synonym_map is not None and synonym_map.has_mappings:
-                texts = synonym_map.canonicalize_series(texts)
-            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-            words = words[words.str.len() >= 1]
-            if not len(words):
-                continue
-            uniq = pd.DataFrame(
-                {"doc_id": words.index, "word": words.to_numpy()}
-            ).drop_duplicates()
-            yield uniq[["word"]]
-
-    word_rows = docs.select("doc_id", "text").mapInPandas(
-        words_pass, schema="word string"
-    )
-    word_df_tbl = word_rows.groupBy("word").agg(F.count("*").alias("df"))
+    # words df (distinct-doc counts: pairs are already deduped per doc)
+    word_df_tbl = pairs.groupBy("word").agg(F.count("*").alias("df"))
     word_df_tbl.orderBy("word").write.mode("overwrite").parquet(
         os.path.join(out_dir, "words")
     )
-    # derive the twin structures from the written table (one aggregation)
-    reread = docs.sparkSession.read.parquet(os.path.join(out_dir, "words"))
+    pairs.unpersist()
+    # twin structures derive from the written table (one aggregation)
+    reread = spark.read.parquet(os.path.join(out_dir, "words"))
     reread.select(F.reverse(F.col("word")).alias("rword"), "df").orderBy(
         "rword"
     ).write.mode("overwrite").parquet(os.path.join(out_dir, "words_rev"))

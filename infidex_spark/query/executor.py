@@ -389,7 +389,7 @@ class IndexReader:
         self._champions = ds.dataset(ch) if os.path.isdir(ch) else None
         self._doc_meta = ds.dataset(dm) if os.path.isdir(dm) else None
         self._term_dict = ds.dataset(td) if os.path.isdir(td) else None
-        self._wm_buckets = 32  # matches _build_wm_words
+        self._wm_buckets = 32  # matches _build_word_family
         self._wm_words = (
             ds.dataset(wm, partitioning="hive") if os.path.isdir(wm) else None
         )
@@ -399,7 +399,7 @@ class IndexReader:
             ds.dataset(ps, partitioning="hive") if os.path.isdir(ps) else None
         )
         sq1 = os.path.join(index_dir, "sq_words1")
-        self._sq1_buckets = 4  # matches _build_wm_words (sq_words1 write)
+        self._sq1_buckets = 4  # matches _build_word_family (sq_words1 write)
         self._sq_words1 = (
             ds.dataset(sq1, partitioning="hive") if os.path.isdir(sq1) else None
         )
