@@ -18,6 +18,11 @@ a debugging session, documented here so it survives):
 - both levels run the identical DAG: fixed shuffle partitions and bucket
   count, same pre-materialized input parquet, Python workers warmed
   (imports) before the measured window;
+- shuffle local dirs + throwaway index output in tmpfs: a real cluster
+  ships one local disk per executor and an output store whose bandwidth
+  scales with the cluster, so disk throughput grows with N -> 4N; this
+  sandbox's single shared disk (plus a disk-heavy co-tenant) would
+  charge the 4N level a bottleneck no real cluster has;
 - `reps` alternating runs per level; headline efficiency from the MIN
   wall pair (lower envelope — the co-tenant's disk/memory-bandwidth
   pressure is not excluded by the core mask), median reported alongside,
@@ -48,23 +53,39 @@ N_BUCKETS = 64
 INPUT = os.path.join(REPO, "_work", f"scaling_input_{N_DOCS}")
 
 _CHILD = r"""
-import json, os, sys, time
+import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
 from infidex_spark.session import get_spark
 from infidex_spark.build.indexer import build_index
 
 cpus = int(sys.argv[1])
+# Per-node disk modeling: on a real cluster every executor brings its own
+# local disk (shuffle/spill) and the output store's bandwidth scales with
+# the cluster, so disk throughput grows with N -> 4N executors. This
+# sandbox has ONE shared disk (with a disk-heavy co-tenant in
+# uninterruptible I/O that no core mask excludes), which would charge the
+# 4N level a bottleneck a real cluster does not have — so the scaling
+# job's shuffle dirs and throwaway index output live in tmpfs, identical
+# at both levels. Fits easily: shuffle+output ~3 GB vs 126 GB tmpfs.
+scratch = f"/dev/shm/spark_graft_scaling_{{cpus}}"
+shutil.rmtree(scratch, ignore_errors=True)
+os.makedirs(scratch, exist_ok=True)
 spark = get_spark(app_name=f"scaling-{{cpus}}", cpus=cpus,
-                  shuffle_partitions={shuffle})
+                  shuffle_partitions={shuffle},
+                  extra_conf={{"spark.local.dir": os.path.join(scratch, "local")}})
 docs = spark.read.parquet({inp!r})
 docs.count()  # warm file listing/footers outside the window
 # warm python workers (numpy/pandas imports) outside the window
 docs.limit(20000).mapInPandas(lambda it: (p[["doc_id"]] for p in it), "doc_id long").count()
 t0 = time.time()
-m = build_index(spark, docs, os.path.join({repo!r}, "_work", f"scaling_idx_{{cpus}}"),
-                n_buckets={buckets})
+m = build_index(spark, docs, os.path.join(scratch, "idx"), n_buckets={buckets})
 wall = time.time() - t0
 spark.stop()
+# keep the manifest for step-level attribution, drop the bulk
+os.makedirs(os.path.join({repo!r}, "_work"), exist_ok=True)
+shutil.copy(os.path.join(scratch, "idx", "MANIFEST.json"),
+            os.path.join({repo!r}, "_work", f"scaling_manifest_{{cpus}}.json"))
+shutil.rmtree(scratch, ignore_errors=True)
 print("RESULT " + json.dumps({{"cpus": cpus, "wall_sec": wall,
                                "docs_per_sec": m["total_docs"] / wall,
                                "step_secs": m["step_secs"]}}))
