@@ -70,8 +70,16 @@ cpus = int(sys.argv[1])
 scratch = f"/dev/shm/spark_graft_scaling_{{cpus}}"
 shutil.rmtree(scratch, ignore_errors=True)
 os.makedirs(scratch, exist_ok=True)
+# Per-executor memory modeling: a real cluster's total memory scales
+# with the executor count (4N executors = 4x the heap), i.e. memory PER
+# TASK SLOT is constant. Local mode shares ONE driver heap across all
+# task slots, so the heap scales with the slot count here (12 GB/slot,
+# identical per-slot budget at both levels) — otherwise the 4N level
+# runs memory-starved relative to what a real cluster provides and GC
+# pressure masquerades as poor scaling.
 spark = get_spark(app_name=f"scaling-{{cpus}}", cpus=cpus,
                   shuffle_partitions={shuffle},
+                  driver_memory=f"{{12 * cpus}}g",
                   extra_conf={{"spark.local.dir": os.path.join(scratch, "local")}})
 docs = spark.read.parquet({inp!r})
 docs.count()  # warm file listing/footers outside the window
