@@ -95,33 +95,38 @@ class CoverageEngine:
 
     # ------------------------------------------------------------- features
 
-    def doc_view(self, doc_text: str):
+    def doc_view(self, doc_text: str, d_raw: list[Token] | None = None):
         """Query-independent per-doc token views: (raw unfiltered tokens,
         filtered+deduped matcher tokens, raw filtered count, raw-text
         set, text->index over the matcher tokens, length-desc stable
         token order, unique raw texts in first-occurrence order).
         Callers may cache the result per doc and pass it to
         calculate_features — everything here is per-doc work the cold
-        path would otherwise redo per (query, candidate)."""
+        path would otherwise redo per (query, candidate). d_raw: optional
+        precomputed _raw_tokens(doc_text, 0) (the rerank batches raw
+        tokenization over the whole candidate set)."""
         from infidex_spark.kernel.coverage.state import _raw_tokens
 
-        d_raw = _raw_tokens(doc_text, 0)
+        if d_raw is None:
+            d_raw = _raw_tokens(doc_text, 0)
         min_ws = self.setup.min_word_size
+        # single fused pass: a token's filter eligibility is a function of
+        # its text alone, so first-occurrence dedupe over all tokens and
+        # over the length-filtered subset agree on which occurrence wins
         seen: set[str] = set()
         doc_tokens: list[Token] = []
         d_uniq_raw: list[str] = []
         raw_count = 0
         for t in d_raw:
-            if t.text not in seen:
-                seen.add(t.text)
-                d_uniq_raw.append(t.text)
-            if len(t.text) >= min_ws:
+            txt = t.text
+            long_enough = len(txt) >= min_ws
+            if long_enough:
                 raw_count += 1
-        seen2: set[str] = set()
-        for t in d_raw:
-            if len(t.text) >= min_ws and t.text not in seen2:
-                seen2.add(t.text)
-                doc_tokens.append(t)
+            if txt not in seen:
+                seen.add(txt)
+                d_uniq_raw.append(txt)
+                if long_enough:
+                    doc_tokens.append(t)
         d_set = frozenset(d_uniq_raw)
         # doc_tokens are unique by text: exact-match scans become lookups
         d_index = {t.text: j for j, t in enumerate(doc_tokens)}

@@ -371,6 +371,20 @@ class RerankExecutor:
             i for i in key_to_id.values() if i not in ctx_feats
         )
         texts = self._doc_texts(sorted(need_texts))
+        # batch the raw tokenization for every view this query will build:
+        # one C-level regex pass over the joined candidate texts instead
+        # of a per-candidate call (the largest single cold-path cost)
+        pend_views = [
+            (i, e)
+            for i in sorted(need_texts)
+            if (e := self._doc_cache.get(i)) is not None and e[1] is None
+        ]
+        if pend_views:
+            from infidex_spark.kernel.coverage.state import _raw_tokens_batch
+
+            raws = _raw_tokens_batch([e[0] for _, e in pend_views])
+            for (_, e), raw in zip(pend_views, raws):
+                e[1] = self.engine.doc_view(e[0], d_raw=raw)
 
         entries: list[tuple[float, int, int]] = []
         lcs_by_key: dict[int, int] = {}
