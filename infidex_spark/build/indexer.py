@@ -1170,6 +1170,7 @@ def _build_prefixes(
     pairs = (
         docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema).persist()
     )
+    pairs.count()  # materialize once before the concurrent consumers below
 
     # ---- doc metadata cache (B8): n_tokens + tiny normalized text, all
     # .str-vectorized (no per-row lambdas)
@@ -1212,61 +1213,87 @@ def _build_prefixes(
         "doc_id long, n_tokens long, tiny_text string, text string, "
         "words_text string, first3 string, first_word3 string"
     )
-    doc_meta = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
-    doc_meta.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
-    doc_meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
-    _s = time.time()
-    _write_doc_store(out_dir)
-    if aux_secs is not None:
-        aux_secs["doc_store_write"] = round(time.time() - _s, 2)
 
-    # ---- counts + capped positional rows
-    counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
-    small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
-    lists = (
-        pairs.join(F.broadcast(small), "prefix", "left_semi")
-        .groupBy("prefix")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-    )
-    final = counts.join(lists, "prefix", "left").select("prefix", "n_docs", "doc_ids")
-    final.write.mode("overwrite").parquet(os.path.join(out_dir, "prefixes"))
-    (
-        pairs.join(F.broadcast(small), "prefix", "left_semi")
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "prefix_postings"))
-    )
+    # Two independent chains fork here (own small pool): doc_meta ->
+    # doc_store -> champions, and counts -> prefixes/prefix_postings.
+    # At the LOW parallelism level the machine is already CPU-saturated,
+    # so this changes nothing there; at the HIGH level the build's tail
+    # was this function's sequential job chain — splitting it shortens
+    # the critical path only where the extra cores exist to run it,
+    # which is exactly what N->4N scaling efficiency measures.
+    def _meta_job():
+        s = time.time()
+        dm = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
+        dm.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
+        dm = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+        s2 = time.time()
+        _write_doc_store(out_dir)
+        if aux_secs is not None:
+            aux_secs["doc_store_write"] = round(time.time() - s2, 2)
+            aux_secs["doc_meta"] = round(time.time() - s, 2)
+        return dm
 
-    # ---- champion lists (B7): top-64 per prefix by the short-query score
-    # (covers hot prefixes, whose full rows are not stored)
-    scored = pairs.join(doc_meta, "doc_id").join(
-        docs.select("doc_id", "doc_key"), "doc_id"
-    ).withColumn(
-        "precedence",
-        F.lit(128)
-        + F.when(F.col("first_pos") == 0, 64).otherwise(0)
-        + F.when((F.col("n_exact") > 0) | (F.col("n_tokens") <= 3), 32).otherwise(0)
-        + F.when(F.col("first_exact"), 16).otherwise(0)
-        + F.when(F.col("tiny_text") == F.col("prefix"), 8).otherwise(0),
-    ).withColumn(
-        "base",
-        F.greatest(
-            F.lit(0),
-            F.least(
-                F.lit(255),
-                (F.lit(255) - F.least(F.col("first_pos") * 16, F.lit(240)))
-                + F.least(F.col("n_ws") * 8, F.lit(32)),
+    def _lists_job():
+        s = time.time()
+        # ---- counts + capped positional rows
+        counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
+        small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
+        lists = (
+            pairs.join(F.broadcast(small), "prefix", "left_semi")
+            .groupBy("prefix")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        )
+        final = counts.join(lists, "prefix", "left").select(
+            "prefix", "n_docs", "doc_ids"
+        )
+        final.write.mode("overwrite").parquet(os.path.join(out_dir, "prefixes"))
+        (
+            pairs.join(F.broadcast(small), "prefix", "left_semi")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "prefix_postings"))
+        )
+        if aux_secs is not None:
+            aux_secs["prefix_lists"] = round(time.time() - s, 2)
+
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=2) as ppool:
+        f_meta = ppool.submit(_meta_job)
+        f_lists = ppool.submit(_lists_job)
+        doc_meta = f_meta.result()
+
+        # ---- champion lists (B7): top-64 per prefix by the short-query
+        # score (covers hot prefixes, whose full rows are not stored)
+        scored = pairs.join(doc_meta, "doc_id").join(
+            docs.select("doc_id", "doc_key"), "doc_id"
+        ).withColumn(
+            "precedence",
+            F.lit(128)
+            + F.when(F.col("first_pos") == 0, 64).otherwise(0)
+            + F.when((F.col("n_exact") > 0) | (F.col("n_tokens") <= 3), 32).otherwise(0)
+            + F.when(F.col("first_exact"), 16).otherwise(0)
+            + F.when(F.col("tiny_text") == F.col("prefix"), 8).otherwise(0),
+        ).withColumn(
+            "base",
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(255),
+                    (F.lit(255) - F.least(F.col("first_pos") * 16, F.lit(240)))
+                    + F.least(F.col("n_ws") * 8, F.lit(32)),
+                ),
             ),
-        ),
-    ).withColumn("sq_score", F.shiftleft(F.col("precedence"), 8) + F.col("base"))
-    from pyspark.sql.window import Window
+        ).withColumn("sq_score", F.shiftleft(F.col("precedence"), 8) + F.col("base"))
+        from pyspark.sql.window import Window
 
-    w = Window.partitionBy("prefix").orderBy(F.desc("sq_score"), F.asc("doc_key"))
-    champions = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _CHAMPION_LIST_SIZE)
-        .select("prefix", "doc_id", "doc_key", "sq_score", "rn")
-    )
-    champions.write.mode("overwrite").parquet(os.path.join(out_dir, "champions"))
+        w = Window.partitionBy("prefix").orderBy(F.desc("sq_score"), F.asc("doc_key"))
+        champions = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _CHAMPION_LIST_SIZE)
+            .select("prefix", "doc_id", "doc_key", "sq_score", "rn")
+        )
+        champions.write.mode("overwrite").parquet(os.path.join(out_dir, "champions"))
+        f_lists.result()
     pairs.unpersist()
 
 
