@@ -513,6 +513,17 @@ def build_index(
     if "doc_key" not in docs.columns:
         docs = docs.withColumn("doc_key", F.col("doc_id"))
 
+    # Every doc-derived Arrow pass (tokenize, prefixes, doc_meta, word
+    # family) inherits the input partitioning, and the map-side partial
+    # encoder accumulates one partition per task — an AQE-coalesced
+    # upstream join can hand us a few fat partitions that cap the whole
+    # build's parallelism far below the cluster and bloat per-task
+    # memory. Rebalance up front when the input arrives under-split; at
+    # real corpus sizes inputs carry plenty of partitions and this no-ops.
+    min_parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < min_parts:
+        docs = docs.repartition(min_parts)
+
     if html_col is not None:
         # front of the pipeline: derive the text column from html:binary
         # (input_hint: byte-identical extracted text per url) — a map-only
