@@ -1,0 +1,970 @@
+"""Cross-candidate (batch) coverage evaluation — the vectorized executor
+counterpart of the scalar matcher cascade in engine.CoverageEngine.
+
+The scalar kernel (matchers.py / fusion.py, ports of
+Coverage/WholeWordMatcher.cs, JoinedWordMatcher.cs, PrefixSuffixMatcher.cs,
+FuzzyWordMatcher.cs, FusionSignalComputer.cs) stays the reference
+implementation; this module produces BIT-IDENTICAL MatchState outputs and
+FusionSignals for a whole candidate batch at once, exploiting two facts:
+
+1. every pair decision (query token, doc word) is a pure function of the
+   two texts — so it is computed ONCE PER UNIQUE WORD in the batch and
+   reused across all candidates containing that word (the scalar path's
+   per-query memo does this per pair lookup; here it becomes an array
+   indexed by interned word id);
+2. the per-candidate cascade only needs the doc's token *code sequence*
+   (plus char offsets for output fields), so candidate texts are
+   tokenized in one vectorized pass (numpy delimiter mask for offsets +
+   one C-level findall + pandas factorize for codes) with no per-token
+   Python objects, and the per-doc views (first-occurrence dedupe,
+   length-desc order, long-token counts) are built with a handful of
+   global numpy ops for the whole batch.
+
+Inside the cascade, matches are RARE relative to (query token, doc word)
+pairs, so each matcher first asks "any hit at all?" with one vectorized
+table probe and only walks the short hit list when there is one — the
+sequential active-flag semantics of the scalar cascade are replayed
+exactly on that hit list.
+
+Parity is enforced by tests/test_batch_coverage.py (randomized scalar ==
+batch feature equality, every CoverageFeatures/FusionSignals field) and
+by the executor-vs-kernel full-pipeline and golden tests, which run the
+batch path end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from infidex_spark.kernel.coverage.config import CoverageConfig
+from infidex_spark.kernel.coverage.fusion import (
+    ANCHOR_STEM_LENGTH,
+    MAX_TRAILING_TERM_LENGTH_FOR_BONUS,
+    FusionSignals,
+    _sts_token,
+    _stem_pair,
+)
+from infidex_spark.kernel.coverage.matchers import (
+    _exact_affix_pair,
+    _fuzzy_prefix_pair,
+    _token_max_edits,
+)
+from infidex_spark.kernel.coverage.metrics import damerau_restricted
+from infidex_spark.kernel.coverage.scorer import CoverageFeatures, calculate_final_score
+from infidex_spark.kernel.coverage.state import _WORD_RE
+from infidex_spark.kernel.tokenize import DELIMITERS
+
+# interner size cap: beyond this the per-query tables (a few float64/bool
+# arrays of length n_words per query token) would grow past ~100 MB; the
+# caller clears interner + views + ctx tables and starts fresh
+INTERNER_CAP = 2_000_000
+
+# delimiter lookup table over the BMP (all 22 delimiters are < U+10000;
+# astral chars are never delimiters)
+_DELIM_TABLE = np.zeros(65536, dtype=bool)
+for _c in DELIMITERS:
+    _DELIM_TABLE[ord(_c)] = True
+
+
+def _token_starts(blob: str) -> np.ndarray:
+    """Char offsets of every token start in blob, vectorized (same
+    boundaries as _WORD_RE: maximal runs of non-delimiters)."""
+    if not blob:
+        return np.zeros(0, dtype=np.int64)
+    arr = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+    nd = np.empty(len(arr), dtype=bool)
+    bmp = arr < 65536
+    nd[bmp] = ~_DELIM_TABLE[arr[bmp]]
+    nd[~bmp] = True
+    prev = np.empty_like(nd)
+    prev[0] = False
+    prev[1:] = nd[:-1]
+    return np.flatnonzero(nd & ~prev)
+
+
+class WordInterner:
+    """Process-wide word <-> int32 code mapping shared by all batches of
+    one RerankExecutor; word lengths live in a parallel numpy array."""
+
+    __slots__ = ("ids", "words", "_lens")
+
+    def __init__(self) -> None:
+        self.ids: dict[str, int] = {}
+        self.words: list[str] = []
+        self._lens = np.zeros(0, dtype=np.int32)
+
+    def __len__(self) -> int:
+        return len(self.words)
+
+    @property
+    def lens(self) -> np.ndarray:
+        n = len(self.words)
+        if len(self._lens) < n:
+            ext = np.fromiter(
+                (len(w) for w in self.words[len(self._lens) :]),
+                dtype=np.int32,
+                count=n - len(self._lens),
+            )
+            self._lens = np.concatenate([self._lens, ext])
+        return self._lens
+
+    def intern_many(self, uniq_words) -> np.ndarray:
+        """wid for each word (interning new ones)."""
+        ids = self.ids
+        words = self.words
+        out = np.empty(len(uniq_words), dtype=np.int32)
+        for k, w in enumerate(uniq_words):
+            wid = ids.get(w)
+            if wid is None:
+                wid = len(words)
+                ids[w] = wid
+                words.append(w)
+            out[k] = wid
+        return out
+
+
+class DocView:
+    """Query-independent per-doc token view (columnar analogue of
+    engine.doc_view). Arrays are slices of the batch-level build."""
+
+    __slots__ = (
+        "codes", "starts", "uniq", "mt_codes", "mt_pos_l", "mt_l",
+        "d_order_l", "mt_do", "jl_l", "raw_long_count", "cindex", "_uset",
+    )
+
+    def __init__(self) -> None:
+        self._uset = None
+
+    @property
+    def uset(self):
+        if self._uset is None:
+            self._uset = set(self.uniq.tolist())
+        return self._uset
+
+
+def build_views(
+    interner: WordInterner,
+    texts: list[str],
+    min_ws: int,
+) -> list[DocView]:
+    """Tokenize + view-build for a whole batch with global vectorized
+    ops: one numpy pass for offsets, one findall for words, one
+    factorize for codes, one np.unique for first-occurrence dedupe, one
+    lexsort for the length-desc matcher order."""
+    import pandas as pd
+
+    n_texts = len(texts)
+    views = [DocView() for _ in range(n_texts)]
+    blob = " ".join(texts)
+    starts = _token_starts(blob)
+    words = _WORD_RE.findall(blob)
+    # factorize -> small unique set, then map through the interner once
+    codes_local, uniq_words = pd.factorize(np.asarray(words, dtype=object))
+    wid_of = interner.intern_many(uniq_words)
+    codes = (
+        wid_of[codes_local]
+        if len(codes_local)
+        else np.zeros(0, dtype=np.int32)
+    )
+    lens = interner.lens
+    bounds = np.empty(n_texts + 1, dtype=np.int64)
+    off = 0
+    for k, t in enumerate(texts):
+        bounds[k] = off
+        off += len(t) + 1
+    bounds[n_texts] = off
+    tdoc = np.searchsorted(bounds, starts, side="right") - 1
+    local = (starts - bounds[tdoc]).astype(np.int32)
+    cuts = np.searchsorted(tdoc, np.arange(n_texts + 1))
+
+    wl = lens[codes] if len(codes) else np.zeros(0, dtype=np.int32)
+    long_mask = wl >= min_ws
+    raw_long = np.bincount(
+        tdoc[long_mask], minlength=n_texts
+    ) if len(codes) else np.zeros(n_texts, dtype=np.int64)
+
+    # first occurrence of each (doc, code) pair, in document order
+    if len(codes):
+        key = tdoc * np.int64(len(interner) + 1) + codes
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+    else:
+        first = np.zeros(0, dtype=np.int64)
+    fdoc = tdoc[first]
+    fcuts = np.searchsorted(fdoc, np.arange(n_texts + 1))
+    # matcher tokens: unique AND len >= min_ws
+    mt_mask = long_mask[first]
+    mt_global = first[mt_mask]
+    mdoc = tdoc[mt_global]
+    mcuts = np.searchsorted(mdoc, np.arange(n_texts + 1))
+    mcodes_all = codes[mt_global]
+    mpos_all = local[mt_global]
+    # stable length-desc order per doc (lexsort keys: last is primary)
+    if len(mt_global):
+        order = np.lexsort(
+            (np.arange(len(mt_global)), -lens[mcodes_all], mdoc)
+        )
+        local_rank = np.arange(len(mt_global)) - mcuts[mdoc]
+        order_local = local_rank[order]
+    else:
+        order_local = np.zeros(0, dtype=np.int64)
+
+    for k, v in enumerate(views):
+        lo, hi = cuts[k], cuts[k + 1]
+        v.codes = codes[lo:hi]
+        v.starts = local[lo:hi]
+        flo, fhi = fcuts[k], fcuts[k + 1]
+        v.uniq = codes[first[flo:fhi]]
+        mlo, mhi = mcuts[k], mcuts[k + 1]
+        mc = mcodes_all[mlo:mhi]
+        v.mt_codes = mc
+        v.mt_l = mc.tolist()
+        v.mt_pos_l = mpos_all[mlo:mhi].tolist()
+        v.jl_l = lens[mc].tolist() if len(mc) else []
+        do = order_local[mlo:mhi]
+        v.d_order_l = do.tolist()
+        v.mt_do = mc[do] if len(mc) else mc
+        v.raw_long_count = int(raw_long[k])
+        v.cindex = {c: j for j, c in enumerate(v.mt_l)}
+    return views
+
+
+def _seg_any(mat: np.ndarray, ptr: np.ndarray, n: int) -> np.ndarray:
+    """Per-segment any() along axis 1: mat is (rows, T) bool, ptr is the
+    n+1 segment offsets into T. Returns (n, rows) bool. Empty segments
+    are False (reduceat is run on non-empty starts only; consecutive
+    non-empty starts span exactly the intervening tokens)."""
+    rows = mat.shape[0]
+    out = np.zeros((n, rows), dtype=bool)
+    nonempty = ptr[:-1] < ptr[1:]
+    if mat.shape[1] and nonempty.any():
+        starts = ptr[:-1][nonempty]
+        red = np.bitwise_or.reduceat(mat, starts, axis=1)
+        out[nonempty] = red.T
+    return out
+
+
+def _seg_sum(vec: np.ndarray, ptr: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=vec.dtype)
+    nonempty = ptr[:-1] < ptr[1:]
+    if len(vec) and nonempty.any():
+        starts = ptr[:-1][nonempty]
+        out[nonempty] = np.add.reduceat(vec, starts)
+    return out
+
+
+def _seg_max(vec: np.ndarray, ptr: np.ndarray, n: int) -> np.ndarray:
+    out = np.zeros(n, dtype=vec.dtype)
+    nonempty = ptr[:-1] < ptr[1:]
+    if len(vec) and nonempty.any():
+        starts = ptr[:-1][nonempty]
+        out[nonempty] = np.maximum.reduceat(vec, starts)
+    return out
+
+
+class _Probes:
+    """Per-(query, batch) hit probes: for each candidate and each table
+    row, does ANY of the candidate's tokens hit? Computed with one fancy
+    index + one reduceat per table over the batch's concatenated token
+    codes; the cascade walks a candidate's tokens only when its probe
+    row says there is something to find."""
+
+    __slots__ = ("ex", "fp", "fu", "fus", "trail", "ss", "segp", "segs")
+
+    def __init__(self, T: QueryTables, views: list[DocView]):
+        n = len(views)
+        mtcat = (
+            np.concatenate([v.mt_codes for v in views])
+            if n
+            else np.zeros(0, dtype=np.int32)
+        )
+        mt_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(v.mt_codes) for v in views], out=mt_ptr[1:])
+        uqcat = (
+            np.concatenate([v.uniq for v in views])
+            if n
+            else np.zeros(0, dtype=np.int32)
+        )
+        uq_ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(v.uniq) for v in views], out=uq_ptr[1:])
+
+        self.ex = _seg_any(T.ex_m[:, mtcat], mt_ptr, n)
+        self.fp = _seg_any(T.fp_m[:, mtcat], mt_ptr, n)
+        self.fu = [
+            _seg_any(T.fu_d[t][:, mtcat] <= (t + 1), mt_ptr, n)
+            for t in range(T.fu_global_max)
+        ]
+        self.fus = _seg_any(T.fstack[:, uqcat], uq_ptr, n)
+        if T.do_trail:
+            rawcat = (
+                np.concatenate([v.codes for v in views])
+                if n
+                else np.zeros(0, dtype=np.int32)
+            )
+            raw_ptr = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum([len(v.codes) for v in views], out=raw_ptr[1:])
+            self.trail = _seg_sum(
+                T.trail[rawcat].astype(np.int32), raw_ptr, n
+            )
+        else:
+            self.trail = None
+        if T.do_ss:
+            self.ss = _seg_max(T.ss_score[uqcat], uq_ptr, n)
+            if T.seg is not None:
+                self.segp = _seg_any(T.seg_p[None, uqcat], uq_ptr, n)[:, 0]
+                self.segs = _seg_any(T.seg_s[None, uqcat], uq_ptr, n)[:, 0]
+            else:
+                self.segp = self.segs = None
+        else:
+            self.ss = None
+            self.segp = self.segs = None
+
+
+class _StateShim:
+    """Minimal MatchState stand-in accepted by calculate_final_score."""
+
+    __slots__ = (
+        "q_count", "word_hits", "doc_token_count", "num_whole", "num_joined",
+        "num_fuzzy", "num_prefix_suffix", "penalty", "term_matched_chars",
+        "term_max_chars", "term_has_whole", "term_has_joined",
+        "term_has_prefix", "term_first_pos", "term_idf",
+    )
+
+
+class QueryTables:
+    """Per-(query, word-id) decision tables. Built lazily: ensure() extends
+    every table when the interner has grown since the last batch. All pair
+    values are produced by the SAME pure functions the scalar matchers
+    memoize, so batch and scalar results are identical by construction."""
+
+    def __init__(self, ctx: dict, setup: CoverageConfig, interner: WordInterner):
+        self.setup = setup
+        self.interner = interner
+        self.n = 0  # words covered so far
+        tokens = ctx["tokens"]
+        self.q_texts = [t.text for t in tokens]
+        self.m = m = len(self.q_texts)
+        q_raw = ctx["q_raw"]
+        self.qr_texts = [t.text for t in q_raw]
+        # matcher-token constants
+        self.q_order_full = sorted(range(m), key=lambda i: -len(self.q_texts[i]))
+        self.q_len_set = {len(t) for t in self.q_texts}
+        self.qjoin_texts = [
+            self.q_texts[i] + self.q_texts[i + 1] for i in range(m - 1)
+        ]
+        self.q_index = {t: i for i, t in enumerate(self.q_texts)}
+        # fuzzy gates per (query token, tier)
+        max_q_len = max((len(t) for t in self.q_texts), default=0)
+        self.fu_global_max = (
+            _token_max_edits(max_q_len, setup)[0] if max_q_len else 0
+        )
+        self.fu_token_max: list[int] = []
+        self.fu_special: list[bool] = []
+        for t in self.q_texts:
+            tm, sp = _token_max_edits(len(t), setup)
+            self.fu_token_max.append(tm)
+            self.fu_special.append(sp)
+        # affix eligibility for pass 2 (fuzzy prefix): len>=4, or the
+        # final query term with len>=2
+        self.fp_eligible = [
+            len(t) >= 4 or (i == m - 1 and len(t) >= 2)
+            for i, t in enumerate(self.q_texts)
+        ]
+        # fusion constants (over RAW query tokens)
+        self.qr_count = len(self.qr_texts)
+        self.last_raw = self.qr_texts[-1] if self.qr_texts else ""
+        first_raw = self.qr_texts[0] if self.qr_texts else ""
+        self.anchor_stem = (
+            first_raw[:ANCHOR_STEM_LENGTH]
+            if len(first_raw) >= ANCHOR_STEM_LENGTH
+            else None
+        )
+        self.min_stem = setup.min_word_size
+        self.query_text = ctx["query"]
+        self.q_len = len(self.query_text)
+        # single-term similarity operates on the FIRST RAW TOKEN text
+        # (fusion.compute_fusion_signals passes q_tokens[0].text)
+        self.ss_query = self.qr_texts[0] if self.qr_texts else ""
+        self.ss_len = len(self.ss_query)
+        # single-term two-segment fragments (MIN_SEG = 3)
+        self.seg = None
+        if self.qr_count == 1 and self.ss_len >= 6:
+            seg_len = min(6, self.ss_len // 2)
+            self.seg = (self.ss_query[:seg_len], self.ss_query[self.ss_len - seg_len :])
+        self.do_trail = (
+            self.qr_count >= 2
+            and 1 <= len(self.last_raw) <= MAX_TRAILING_TERM_LENGTH_FOR_BONUS
+        )
+        self.do_ss = self.qr_count == 1 and self.ss_len >= 3
+        self.sc_applicable = (
+            self.qr_count >= 2
+            and len(self.last_raw) == 1
+            and self.last_raw.isalpha()
+        )
+        # stem-evidence applies per raw token with len >= min_stem
+        self.stem_rows = [
+            i for i, t in enumerate(self.qr_texts) if len(t) >= self.min_stem
+        ]
+        self.q_wids: list[int] = []
+        self.qjoin_wids: list[int] = []
+        self.qr_wids: list[int] = []
+        self._alloc(0)
+        self.ensure()
+
+    def _alloc(self, n: int) -> None:
+        m = self.m
+        self.ex_m = np.zeros((m, n), dtype=bool)
+        self.ex_s = np.zeros((m, n), dtype=np.float64)
+        self.ex_p = np.zeros((m, n), dtype=bool)
+        self.fp_m = np.zeros((m, n), dtype=bool)
+        self.fp_s = np.zeros((m, n), dtype=np.float64)
+        # fuzzy distance per tier: 255 = gated out or > tier
+        self.fu_d = [
+            np.full((m, n), 255, dtype=np.uint8)
+            for _ in range(self.fu_global_max)
+        ]
+        # fusion tables stacked for one-probe candidate evaluation:
+        # row 0: startswith(last raw token)
+        # row 1: NOT perfect-doc-ok (so any() == not all(ok))
+        # row 2: anchor-stem prefix
+        # rows 3..3+s:   sw (word prefixes stem row's q token) per stem row
+        # rows 3+s..3+2s: st (stem evidence pair) per stem row
+        s = len(self.stem_rows)
+        self.fstack = np.zeros((3 + 2 * s, n), dtype=bool)
+        self.eq_last = np.zeros(n, dtype=bool)
+        self.trail = np.zeros(n, dtype=bool)
+        self.contains_q = np.zeros((self.qr_count, n), dtype=bool)
+        self.ss_score = np.zeros(n, dtype=np.float64)
+        self.seg_p = np.zeros(n, dtype=bool)
+        self.seg_s = np.zeros(n, dtype=bool)
+
+    def ensure(self) -> None:
+        """Extend all tables to cover newly interned words."""
+        W = len(self.interner)
+        n0 = self.n
+        if W <= n0:
+            return
+        words = self.interner.words
+        m = self.m
+        setup = self.setup
+
+        def grow(a, fill=0):
+            if a.ndim == 1:
+                b = np.full(W, fill, dtype=a.dtype)
+                b[:n0] = a
+            else:
+                b = np.full((a.shape[0], W), fill, dtype=a.dtype)
+                b[:, :n0] = a
+            return b
+
+        self.ex_m = grow(self.ex_m)
+        self.ex_s = grow(self.ex_s)
+        self.ex_p = grow(self.ex_p)
+        self.fp_m = grow(self.fp_m)
+        self.fp_s = grow(self.fp_s)
+        self.fu_d = [grow(a, 255) for a in self.fu_d]
+        self.fstack = grow(self.fstack)
+        self.eq_last = grow(self.eq_last)
+        self.trail = grow(self.trail)
+        self.contains_q = grow(self.contains_q)
+        self.ss_score = grow(self.ss_score)
+        self.seg_p = grow(self.seg_p)
+        self.seg_s = grow(self.seg_s)
+
+        q_texts = self.q_texts
+        qr_texts = self.qr_texts
+        last = self.last_raw
+        min_stem = self.min_stem
+        stem = self.anchor_stem
+        s = len(self.stem_rows)
+        seg = self.seg
+        for c in range(n0, W):
+            w = words[c]
+            wl = len(w)
+            for i in range(m):
+                q = q_texts[i]
+                matched, score, is_pref = _exact_affix_pair(q, w)
+                if matched:
+                    self.ex_m[i, c] = True
+                    self.ex_s[i, c] = score
+                    self.ex_p[i, c] = is_pref
+                if self.fp_eligible[i] and len(q) < wl:
+                    fm, fsc = _fuzzy_prefix_pair(q, w)
+                    if fm:
+                        self.fp_m[i, c] = True
+                        self.fp_s[i, c] = fsc
+                # fuzzy tiers (FuzzyWordMatcher gates, encoded per word)
+                q_len = len(q)
+                if q_len >= setup.min_word_size:
+                    token_max = self.fu_token_max[i]
+                    special = self.fu_special[i]
+                    for tier in range(1, self.fu_global_max + 1):
+                        if tier > token_max or (special and tier != 1):
+                            continue
+                        min_len = max(setup.min_word_size, q_len - tier)
+                        max_len = min(setup.levenshtein_max_word_size, q_len + tier, 63)
+                        if wl > max_len or wl < min_len:
+                            continue
+                        if special and (not w or w[0] != q[0]):
+                            continue
+                        dist = damerau_restricted(q, w, tier)
+                        self.fu_d[tier - 1][i, c] = dist
+            # ---- fusion tables (raw q tokens) ----
+            if last:
+                self.fstack[0, c] = w.startswith(last)
+                self.eq_last[c] = w == last
+            self.fstack[1, c] = not any(
+                w.startswith(q) or q.startswith(w) for q in qr_texts
+            )
+            if stem is not None:
+                self.fstack[2, c] = wl >= len(stem) and w.startswith(stem)
+            for r, i in enumerate(self.stem_rows):
+                q = qr_texts[i]
+                self.fstack[3 + r, c] = bool(w) and (w == q or w.startswith(q))
+                self.fstack[3 + s + r, c] = _stem_pair(q, w, min_stem)
+            if self.sc_applicable:
+                for i in range(self.qr_count):
+                    self.contains_q[i, c] = qr_texts[i] in w
+            if self.do_trail:
+                self.trail[c] = w.startswith(last) or (wl > len(last) and last in w)
+            if self.do_ss and wl >= 2:
+                self.ss_score[c] = _sts_token(self.ss_query, w, self.ss_len)
+            if seg is not None and wl >= 3:
+                pf, sf = seg
+                self.seg_p[c] = w.startswith(pf) or pf.startswith(w)
+                self.seg_s[c] = w.endswith(sf) or sf.endswith(w)
+        self.n = W
+        # resolve interned ids for query-side exact/joined lookups
+        ids = self.interner.ids
+        self.q_wids = [ids.get(t, -1) for t in self.q_texts]
+        self.qjoin_wids = [ids.get(t, -1) for t in self.qjoin_texts]
+        self.qr_wids = [ids.get(t, -1) for t in self.qr_texts]
+
+
+def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
+             term_idf: list[float], djoin_memo: dict,
+             ex_any, fp_any, fu_any) -> _StateShim:
+    """Table-driven replay of the scalar matcher cascade (whole -> joined
+    -> prefix/suffix -> fuzzy) for one candidate. Mutation order, match
+    order, credit values and tie rules are identical to matchers.py.
+    Each table scan is gated on one vectorized "any hit?" probe; the
+    short hit list is then walked in the scalar order."""
+    m = T.m
+    mt_l = view.mt_l
+    nd = len(mt_l)
+    pos_l = view.mt_pos_l
+    q_active = [True] * m
+    d_active = [True] * nd
+    tmc = [0.0] * m
+    has_whole = [False] * m
+    has_joined = [False] * m
+    has_prefix = [False] * m
+    first_pos = [-1] * m
+    word_hits = 0
+    num_whole = 0.0
+    num_joined = 0.0
+    num_fuzzy = 0.0
+    num_ps = 0.0
+    penalty = 0
+    q_texts = T.q_texts
+    n_q_active = m
+
+    # ---- E3 whole words (WholeWordMatcher.Match) ----
+    if setup.cover_whole_words and nd:
+        cindex = view.cindex
+        p_increment = 1 if m > 1 else 0
+        for i in range(m):
+            wid = T.q_wids[i]
+            j = cindex.get(wid, -1) if wid >= 0 else -1
+            if j < 0 or not d_active[j]:
+                continue
+            qlen = len(q_texts[i])
+            word_hits += 1
+            num_whole += qlen
+            tmc[i] += qlen
+            has_whole[i] = True
+            has_prefix[i] = True
+            p = pos_l[j]
+            if first_pos[i] == -1 or p < first_pos[i]:
+                first_pos[i] = p
+            if nd > i:
+                if mt_l[i] != wid:
+                    penalty += 1
+            else:
+                penalty += 1
+            if i < m - 1:
+                num_whole += p_increment
+            q_active[i] = False
+            n_q_active -= 1
+            d_active[j] = False
+
+    # ---- E4 joined words (JoinedWordMatcher.Match) ----
+    if setup.cover_joined_words and nd:
+        cindex = view.cindex
+        # query bigram == doc token (adjacent active pairs only: the
+        # scalar scan's next-active is always i+1 given q_active[i+1])
+        if n_q_active >= 2:
+            for i in range(m - 1):
+                if not (q_active[i] and q_active[i + 1]):
+                    continue
+                wid = T.qjoin_wids[i]
+                j = cindex.get(wid, -1) if wid >= 0 else -1
+                if j < 0 or not d_active[j]:
+                    continue
+                l1, l2 = len(q_texts[i]), len(q_texts[i + 1])
+                num_joined += l1 + l2
+                word_hits += 2
+                p = pos_l[j]
+                tmc[i] += l1
+                has_joined[i] = True
+                has_prefix[i] = True
+                if first_pos[i] == -1 or p < first_pos[i]:
+                    first_pos[i] = p
+                tmc[i + 1] += l2
+                has_joined[i + 1] = True
+                if first_pos[i + 1] == -1 or p < first_pos[i + 1]:
+                    first_pos[i + 1] = p
+                q_active[i] = False
+                q_active[i + 1] = False
+                n_q_active -= 2
+                d_active[j] = False
+        # doc bigram == query token
+        if n_q_active:
+            q_len_set = T.q_len_set
+            jl = view.jl_l
+            words = T.interner.words
+            q_index = T.q_index
+            for i in range(nd - 1):
+                if not d_active[i]:
+                    continue
+                next_idx = -1
+                for k in range(i + 1, nd):
+                    if d_active[k]:
+                        next_idx = k
+                        break
+                if next_idx == -1:
+                    break
+                joined_len = jl[i] + jl[next_idx]
+                if joined_len not in q_len_set:
+                    continue
+                c1, c2 = mt_l[i], mt_l[next_idx]
+                key = (c1, c2)
+                mi = djoin_memo.get(key)
+                if mi is None:
+                    mi = q_index.get(words[c1] + words[c2], -1)
+                    djoin_memo[key] = mi
+                if mi < 0 or not q_active[mi]:
+                    continue
+                num_joined += joined_len
+                word_hits += 1
+                tmc[mi] += joined_len
+                has_joined[mi] = True
+                has_prefix[mi] = True
+                p = pos_l[i]
+                if first_pos[mi] == -1 or p < first_pos[mi]:
+                    first_pos[mi] = p
+                q_active[mi] = False
+                n_q_active -= 1
+                d_active[i] = False
+                d_active[next_idx] = False
+
+    # ---- E5 prefix/suffix (PrefixSuffixMatcher.Match) ----
+    if setup.cover_prefix_suffix and nd and n_q_active:
+        d_order = view.d_order_l
+        mt_do = view.mt_do
+        # pass 1: exact affix
+        for i in T.q_order_full:
+            if not q_active[i] or not ex_any[i]:
+                continue
+            hits = T.ex_m[i][mt_do]
+            ex_s = T.ex_s[i]
+            ex_p = T.ex_p[i]
+            for k in np.flatnonzero(hits).tolist():
+                j = d_order[k]
+                if not d_active[j]:
+                    continue
+                c = mt_l[j]
+                score = float(ex_s[c])
+                num_ps += score
+                word_hits += 1
+                tmc[i] += score
+                if ex_p[c]:
+                    has_prefix[i] = True
+                p = pos_l[j]
+                if first_pos[i] == -1 or p < first_pos[i]:
+                    first_pos[i] = p
+                q_active[i] = False
+                n_q_active -= 1
+                d_active[j] = False
+                break
+        # pass 2: fuzzy prefix (tables already encode len(q) < len(d)
+        # and the eligibility rule)
+        if n_q_active:
+            for i in T.q_order_full:
+                if not q_active[i] or not fp_any[i]:
+                    continue
+                hits = T.fp_m[i][mt_do]
+                fp_s = T.fp_s[i]
+                for k in np.flatnonzero(hits).tolist():
+                    j = d_order[k]
+                    if not d_active[j]:
+                        continue
+                    c = mt_l[j]
+                    score = float(fp_s[c])
+                    num_ps += score
+                    word_hits += 1
+                    tmc[i] += score
+                    p = pos_l[j]
+                    if first_pos[i] == -1 or p < first_pos[i]:
+                        first_pos[i] = p
+                    q_active[i] = False
+                    n_q_active -= 1
+                    d_active[j] = False
+                    break
+
+    # ---- E6 fuzzy words (FuzzyWordMatcher.Match) ----
+    if setup.cover_fuzzy_words and nd and n_q_active and T.fu_global_max:
+        fully = True
+        for i in range(m):
+            mx = len(q_texts[i])
+            if mx > 0 and tmc[i] < mx:
+                fully = False
+                break
+        if not fully:
+            # the scalar global gate uses the max ACTIVE query-token
+            # length at entry
+            max_active = max(
+                (len(q_texts[i]) for i in range(m) if q_active[i]), default=0
+            )
+            global_max = _token_max_edits(max_active, setup)[0] if max_active else 0
+            mt_arr = view.mt_codes
+            for tier in range(1, global_max + 1):
+                if not n_q_active:
+                    break
+                du_all = T.fu_d[tier - 1]
+                tier_any = fu_any[tier - 1]
+                for i in range(m):
+                    if not q_active[i] or not tier_any[i]:
+                        continue
+                    vals = du_all[i][mt_arr]
+                    hm = vals <= tier
+                    q_len = len(q_texts[i])
+                    for j in np.flatnonzero(hm).tolist():
+                        if not d_active[j]:
+                            continue
+                        dist = int(vals[j])
+                        word_hits += 1
+                        credit = q_len - dist
+                        num_fuzzy += credit
+                        tmc[i] += credit
+                        p = pos_l[j]
+                        if first_pos[i] == -1 or p < first_pos[i]:
+                            first_pos[i] = p
+                        q_active[i] = False
+                        n_q_active -= 1
+                        d_active[j] = False
+                        break
+
+    st = _StateShim()
+    st.q_count = m
+    st.word_hits = word_hits
+    st.doc_token_count = view.raw_long_count
+    st.num_whole = num_whole
+    st.num_joined = num_joined
+    st.num_fuzzy = num_fuzzy
+    st.num_prefix_suffix = num_ps
+    st.penalty = penalty
+    st.term_matched_chars = tmc
+    st.term_max_chars = [len(t) for t in q_texts]
+    st.term_has_whole = has_whole
+    st.term_has_joined = has_joined
+    st.term_has_prefix = has_prefix
+    st.term_first_pos = first_pos
+    st.term_idf = term_idf
+    return st
+
+
+def _fusion_signals(view: DocView, T: QueryTables, doc_text: str,
+                    anys, trail_cnt, ss_max, seg_pa, seg_sa) -> FusionSignals:
+    """Vectorized replay of fusion.compute_fusion_signals for one
+    candidate (FusionSignalComputer.cs semantics, table-driven). anys is
+    this candidate's precomputed fstack probe row; trail_cnt / ss_max /
+    seg_pa / seg_sa are the precomputed trailing-match count, single-term
+    similarity max and two-segment any-flags (None when not applicable)."""
+    q_count = T.qr_count
+    d_count = len(view.codes)
+    sig = FusionSignals(unfiltered_query_token_count=q_count)
+    if q_count == 0 or d_count == 0:
+        return sig
+    uniq = view.uniq
+
+    # lexical_prefix_last / all_preceding_exact (_check_prefix_last)
+    if q_count == 1:
+        if anys[0]:
+            first_hit = int(np.argmax(T.fstack[0][uniq]))
+            sig.lexical_prefix_last = True
+            sig.all_preceding_exact = bool(T.eq_last[uniq[first_hit]])
+    else:
+        ok = True
+        uset = view.uset
+        for i in range(q_count - 1):
+            t = T.qr_texts[i]
+            if not t:
+                continue
+            wid = T.qr_wids[i]
+            if wid < 0 or wid not in uset:
+                ok = False
+                break
+        if ok:
+            if not T.last_raw:
+                sig.lexical_prefix_last = True
+                sig.all_preceding_exact = True
+            elif anys[0]:
+                sig.lexical_prefix_last = True
+                sig.all_preceding_exact = True
+
+    sig.is_perfect_doc_lexical = not bool(anys[1])
+
+    if q_count >= 2:
+        # stem evidence over raw q tokens with len >= min_stem
+        s = len(T.stem_rows)
+        unmatched = 0
+        evidence = 0
+        for r in range(s):
+            if anys[3 + r]:
+                continue
+            unmatched += 1
+            if anys[3 + s + r]:
+                evidence += 1
+        sig.has_stem_evidence = unmatched > 0 and evidence == unmatched
+
+    if T.anchor_stem is not None:
+        sig.has_anchor_stem = bool(anys[2])
+
+    if T.do_trail:
+        matchable = int(trail_cnt)
+        if matchable > 0:
+            density = matchable / d_count
+            sig.trailing_match_density = int(min(max(density * 255.0, 0.0), 255.0))
+
+    if q_count == 1:
+        sim = 0.0
+        if T.ss_len >= 3:
+            sim = float(ss_max)
+            if T.seg is not None and seg_pa and seg_sa:
+                # both fragments hit somewhere: resolve the (rare)
+                # first-index tie rule on the candidate's own words
+                sp = T.seg_p[uniq]
+                ss = T.seg_s[uniq]
+                p_idx = int(np.argmax(sp))
+                s_idx = int(np.argmax(ss))
+                if p_idx != s_idx:
+                    pf, sf = T.seg
+                    sim = max(sim, min(1.0, (len(pf) + len(sf)) / T.ss_len))
+        sig.single_term_lexical_sim = int(min(max(sim * 255.0, 0.0), 255.0))
+
+    if T.sc_applicable:
+        sig.single_char_last_token_boost = _single_char_last(view, T, doc_text)
+    return sig
+
+
+def _single_char_last(view: DocView, T: QueryTables, doc_text: str) -> int:
+    """fusion._single_char_last_token over the columnar view (caller has
+    checked T.sc_applicable: len(last)==1 and isalpha)."""
+    codes = view.codes
+    nd = len(codes)
+    C = T.contains_q[:, codes] if nd else None
+    d_index = 0
+    first_match_index = -1
+    for i in range(T.qr_count - 1):
+        row = np.flatnonzero(C[i])
+        k = np.searchsorted(row, d_index)
+        if k >= len(row):
+            return 0
+        d_index = int(row[k])
+        if first_match_index == -1:
+            first_match_index = d_index
+    if d_index + 1 < nd:
+        cnxt = int(codes[d_index + 1])
+        nxt_text = T.interner.words[cnxt]
+        last = T.last_raw
+        if nxt_text and nxt_text[0] == last:
+            cur = int(codes[d_index])
+            end_of_last = int(view.starts[d_index]) + len(T.interner.words[cur])
+            between = doc_text[end_of_last : int(view.starts[d_index + 1])]
+            if all(c.isspace() for c in between):
+                boost = 8 + max(0, 16 - first_match_index)
+                if len(nxt_text) == 1:
+                    boost += 4
+                return boost
+    return 0
+
+
+class BatchCoverage:
+    """Batch feature computation for RerankExecutor: holds the shared
+    interner + per-doc views; computes (CoverageFeatures incl. fusion)
+    for many candidates of one query at once."""
+
+    def __init__(self, setup: CoverageConfig):
+        self.setup = setup
+        self.interner = WordInterner()
+        self.views: dict[int, DocView] = {}
+
+    def _maybe_reset(self) -> None:
+        if len(self.interner) > INTERNER_CAP:
+            self.interner = WordInterner()
+            self.views.clear()
+
+    def compute(
+        self,
+        engine,
+        ctx: dict,
+        items: list[tuple[int, str, float]],
+    ) -> dict[int, CoverageFeatures]:
+        """items: (internal_id, doc_text, lcs) per candidate, in process
+        order. Returns id -> CoverageFeatures with fusion filled (same
+        values as engine.calculate_features)."""
+        tokens = ctx["tokens"]
+        out: dict[int, CoverageFeatures] = {}
+        if not tokens:
+            for i, _, _ in items:
+                out[i] = CoverageFeatures()
+            return out
+        self._maybe_reset()
+        if len(self.views) > 1_000_000:
+            self.views.clear()
+        min_ws = self.setup.min_word_size
+        need = [(i, t) for i, t, _ in items if i not in self.views]
+        if need:
+            built = build_views(self.interner, [t for _, t in need], min_ws)
+            for (i, _), v in zip(need, built):
+                self.views[i] = v
+        T = ctx.get("btables")
+        if T is None or T.interner is not self.interner:
+            T = QueryTables(ctx, self.setup, self.interner)
+            ctx["btables"] = T
+        else:
+            T.ensure()
+        djoin = ctx.setdefault("bdjoin", {})
+        idfs = ctx["idfs"]
+        word_level = ctx["word_level"]
+        q_len = len(ctx["query"])
+        cover_wq = self.setup.cover_whole_query
+        batch_views = [self.views[i] for i, _, _ in items]
+        P = _Probes(T, batch_views)
+        for k, (internal_id, text, lcs) in enumerate(items):
+            view = batch_views[k]
+            st = _cascade(
+                view, T, self.setup, idfs, djoin,
+                P.ex[k], P.fp[k], [f[k] for f in P.fu],
+            )
+            feats = calculate_final_score(st, q_len, lcs, cover_wq, word_level)
+            feats.fusion = _fusion_signals(
+                view, T, text, P.fus[k],
+                P.trail[k] if P.trail is not None else 0,
+                P.ss[k] if P.ss is not None else 0.0,
+                bool(P.segp[k]) if P.segp is not None else False,
+                bool(P.segs[k]) if P.segs is not None else False,
+            )
+            out[internal_id] = feats
+        return out

@@ -101,9 +101,18 @@ class RerankExecutor:
         reader: IndexReader,
         setup: CoverageConfig | None = None,
         word_vocab_cap: int = WORD_VOCAB_CAP,
+        use_batch: bool = True,
     ):
         self.r = reader
         self.setup = setup or CoverageConfig()
+        # cross-candidate batch coverage (kernel/coverage/batch.py):
+        # bit-identical to the scalar cascade, vectorized per unique word
+        if use_batch:
+            from infidex_spark.kernel.coverage.batch import BatchCoverage
+
+            self.batch = BatchCoverage(self.setup)
+        else:
+            self.batch = None
         self.stage1 = QueryExecutor(reader)
         self.word_vocab_degraded = False
         self._words = (
@@ -371,25 +380,60 @@ class RerankExecutor:
             i for i in key_to_id.values() if i not in ctx_feats
         )
         texts = self._doc_texts(sorted(need_texts))
-        # batch the raw tokenization for every view this query will build:
-        # one C-level regex pass over the joined candidate texts instead
-        # of a per-candidate call (the largest single cold-path cost)
-        pend_views = [
-            (i, e)
-            for i in sorted(need_texts)
-            if (e := self._doc_cache.get(i)) is not None and e[1] is None
-        ]
-        if pend_views:
-            from infidex_spark.kernel.coverage.state import _raw_tokens_batch
-
-            raws = _raw_tokens_batch([e[0] for _, e in pend_views])
-            for (_, e), raw in zip(pend_views, raws):
-                e[1] = self.engine.doc_view(e[0], d_raw=raw)
 
         entries: list[tuple[float, int, int]] = []
         lcs_by_key: dict[int, int] = {}
         hits_by_key: dict[int, int] = {}
         max_word_hits = 0
+
+        if self.batch is not None:
+            # batch path: compute every uncached candidate's features in
+            # one cross-candidate pass. The per-key LCS values are
+            # resolved first IN PROCESS ORDER (the first id seen for a
+            # key donates its text), exactly as the scalar loop would.
+            order: list[tuple[int, int]] = [(i, key_of[i]) for i in wm_overlap]
+            order += [(i, key_of[i]) for i in wm_unique]
+            for key, _s in s1:
+                internal = key_to_id.get(key)
+                if internal is not None:
+                    order.append((internal, key))
+            items: list[tuple[int, str, int]] = []
+            queued: set[int] = set()
+            for i, key in order:
+                cached = ctx_feats.get(i)
+                if cached is not None:
+                    if key not in lcs_by_key:
+                        lcs_by_key[key] = cached[1]
+                    continue
+                if i in queued:
+                    continue
+                lcs = lcs_by_key.get(key)
+                if lcs is None:
+                    lcs = min(lcs_tolerant(q, texts.get(i, ""), tol), 255)
+                    lcs_by_key[key] = lcs
+                queued.add(i)
+                items.append((i, texts.get(i, ""), lcs))
+            if items:
+                feats_map = self.batch.compute(self.engine, ctx, items)
+                if len(ctx_feats) >= 100_000:
+                    ctx_feats.clear()
+                for i, text, lcs in items:
+                    ctx_feats[i] = (feats_map[i], lcs, text)
+        else:
+            # scalar path: batch the raw tokenization for every view this
+            # query will build — one C-level regex pass over the joined
+            # candidate texts instead of a per-candidate call
+            pend_views = [
+                (i, e)
+                for i in sorted(need_texts)
+                if (e := self._doc_cache.get(i)) is not None and e[1] is None
+            ]
+            if pend_views:
+                from infidex_spark.kernel.coverage.state import _raw_tokens_batch
+
+                raws = _raw_tokens_batch([e[0] for _, e in pend_views])
+                for (_, e), raw in zip(pend_views, raws):
+                    e[1] = self.engine.doc_view(e[0], d_raw=raw)
 
         def process(internal_id: int, key: int, base: float) -> None:
             nonlocal max_word_hits
