@@ -217,6 +217,17 @@ def tokenize_fields_batch(
     from infidex_spark.kernel.engine import FIELD_WEIGHTS
     from infidex_spark.kernel.normalize import normalize_series
 
+    if sizes and max(sizes) > 3:
+        # _pack_keys packs one codepoint per 21 bits next to the gram
+        # size: 4+-char grams would overflow uint64 and silently collide
+        # with the factorized long-word space (ADVICE r3 #3). The fields
+        # fold currently supports gram sizes <= 3 only — fail loudly
+        # instead of producing wrong groups.
+        raise ValueError(
+            "tokenize_fields_batch supports index sizes <= 3 "
+            f"(got sizes={tuple(sizes)}); build multi-field indexes with "
+            "3-gram configs or extend _pack_keys first"
+        )
     texts = normalize_series(raw_texts.fillna("")).str.lower()
     if synonym_map is not None and synonym_map.has_mappings:
         texts = synonym_map.canonicalize_series(texts)

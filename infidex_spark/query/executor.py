@@ -406,6 +406,10 @@ class IndexReader:
         self._sq_meta: dict | None = None  # lazy short-query meta cache
         self._doc_store: tuple | None = None  # lazy mmap'd text store
         self._ps_store: tuple | None = None  # lazy mmap'd pattern store
+        self._sq_topk_map: dict | None = None  # lazy champion lists
+        ct = os.path.join(index_dir, "char_terms")
+        self._char_terms_ds = ds.dataset(ct) if os.path.isdir(ct) else None
+        self._char_terms_cache: dict[str, tuple | None] = {}
         # fmt >= 2: plen-3 pattern rows are deltas; the executor merges
         # the base gram's own postings at probe time
         self.pattern_scores_delta_fmt = (
@@ -806,6 +810,60 @@ class IndexReader:
         return _list_rows_to_numpy(tbl, "word", "doc_ids")
 
     SQ_META_CACHE_LIMIT = 20_000_000
+
+    def sq_topk(self, q: str) -> list[tuple[int, float]] | None:
+        """Precomputed full short-query answer (build-time champion
+        lists, _build_sq_topk) — the reference's ShortQueryResolver
+        champion-list analogue (ShortQueryResolver.cs:18-31). None when
+        the table is absent or the query was not precomputed
+        (sparse/fuzzy queries stay live)."""
+        if self._sq_topk_map is None:
+            path = os.path.join(self.index_dir, "sq_topk")
+            m: dict[str, list] = {}
+            if os.path.isdir(path):
+                try:
+                    import pyarrow.parquet as pq
+
+                    tbl = pq.read_table(path, columns=["q", "doc_keys", "finals"])
+                    keys_np = _list_rows_to_numpy(tbl, "q", "doc_keys")
+                    fin_np = _list_rows_to_numpy(tbl, "q", "finals")
+                    m = {
+                        qq: list(zip(k.tolist(), fin_np[qq].tolist()))
+                        for qq, k in keys_np.items()
+                    }
+                except Exception:
+                    m = {}
+            self._sq_topk_map = m
+        return self._sq_topk_map.get(q)
+
+    def char_terms(self, ch: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """(sorted terms containing ch, word-boundary flags) from the
+        build-time char_terms table. None when the table is absent or
+        the char's list was cap-withheld — callers then run the legacy
+        full-dictionary scan."""
+        if self._char_terms_ds is None:
+            return None
+        got = self._char_terms_cache.get(ch, False)
+        if got is not False:
+            return got
+        tbl = self._char_terms_ds.to_table(
+            columns=["terms", "wb"], filter=ds.field("ch") == ch
+        )
+        if tbl.num_rows == 0:
+            out = (np.zeros(0, dtype="<U1"), np.zeros(0, dtype=bool))
+        else:
+            terms = tbl["terms"][0].as_py()
+            if terms is None:  # cap-withheld row
+                out = None
+            else:
+                out = (
+                    np.asarray(terms, dtype=str),
+                    np.asarray(tbl["wb"][0].as_py(), dtype=bool),
+                )
+        if len(self._char_terms_cache) >= 512:
+            self._char_terms_cache.clear()
+        self._char_terms_cache[ch] = out
+        return out
 
     def sq_meta(self) -> dict | None:
         """In-memory short-query precedence columns (doc-id-sorted numpy
@@ -1278,7 +1336,20 @@ class QueryExecutor:
             if got is None:
                 if len(q) > 1 and getattr(self.r, "_term_dict", None) is not None \
                         and getattr(self.r, "_doc_meta", None) is not None:
-                    got = self._search_short_query(q, k)
+                    # champion lists (build-time full answers) first: one
+                    # dict lookup when the query was precomputed and the
+                    # stored depth covers k; live path otherwise (and
+                    # always under tombstones — deletes reorder the list)
+                    got = None
+                    get_topk = getattr(self.r, "sq_topk", None)
+                    if get_topk is not None and not getattr(
+                        self.r, "tombstones", frozenset()
+                    ):
+                        row = get_topk(q)
+                        if row is not None and k <= len(row):
+                            got = [(int(d), float(s)) for d, s in row[:k]]
+                    if got is None:
+                        got = self._search_short_query(q, k)
                 else:
                     got = self._short_query(q, k)
                 if len(self._short_cache) >= 10_000:
@@ -1435,17 +1506,31 @@ class QueryExecutor:
                 return z, np.zeros(0, dtype=np.float64), z
             ids_cat = np.concatenate(ids_l)
             w_cat = np.concatenate(w_l)
-            # internal ids are dense [0, total_docs): one O(nnz + N)
-            # bincount replaces a sort-based unique (int-valued sums,
-            # exact: ints < 2^53 in float64)
-            dense = np.bincount(ids_cat, weights=w_cat, minlength=r.total_docs)
-            uids = np.flatnonzero(dense)
-            iscores = dense[uids]
+            # weights are positive integer-valued floats < 2^53: sums are
+            # exact in float64, so both branches produce identical values
+            if ids_cat.size * 8 < r.total_docs or (
+                ids_cat.size and int(ids_cat.max()) >= r.total_docs
+            ):
+                # sparse matches (or non-dense caller ids): sort-based
+                # unique avoids an O(total_docs) dense allocation
+                uids, inv = np.unique(ids_cat, return_inverse=True)
+                iscores = np.bincount(inv, weights=w_cat, minlength=uids.size)
+            else:
+                # internal ids are dense [0, total_docs): one O(nnz + N)
+                # bincount replaces the sort
+                dense = np.bincount(ids_cat, weights=w_cat, minlength=r.total_docs)
+                uids = np.flatnonzero(dense)
+                iscores = dense[uids]
             _, keys = r.doc_lengths(uids)
             return uids, iscores, keys
 
         uids, iscores, ukeys = aggregate()
-        n_matched = np.unique(ukeys).size if ukeys.size else 0
+        keys_sorted = bool(
+            ukeys.size == 0 or np.all(ukeys[1:] > ukeys[:-1])
+        )
+        n_matched = (
+            ukeys.size if keys_sorted else (np.unique(ukeys).size if ukeys.size else 0)
+        )
         if n_matched < 100:
             fuzzy = self._short_fuzzy_terms(q, patterns)
             if fuzzy:
@@ -1457,13 +1542,22 @@ class QueryExecutor:
                     ids_l.append(tp.doc_ids)
                     w_l.append(tp.tfs.astype(np.float64) * mult)
                 uids, iscores, ukeys = aggregate()
+                keys_sorted = bool(
+                    ukeys.size == 0 or np.all(ukeys[1:] > ukeys[:-1])
+                )
 
         if uids.size == 0:
             return []
-        uk, kinv = np.unique(ukeys, return_inverse=True)
-        scores = np.bincount(kinv, weights=iscores, minlength=uk.size)
-        rep = np.full(uk.size, np.iinfo(np.int64).max, dtype=np.int64)
-        np.minimum.at(rep, kinv, uids)
+        if keys_sorted:
+            # strictly increasing keys (the common 1-id-per-key case):
+            # per-key grouping is the identity — skip two sorts and the
+            # (slow) minimum.at scatter
+            uk, scores, rep = ukeys, iscores, uids
+        else:
+            uk, kinv = np.unique(ukeys, return_inverse=True)
+            scores = np.bincount(kinv, weights=iscores, minlength=uk.size)
+            rep = np.full(uk.size, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(rep, kinv, uids)
 
         tomb = getattr(r, "tombstones", frozenset())
         if tomb:
@@ -1475,19 +1569,65 @@ class QueryExecutor:
         prec = self._short_precedence(q, rep)
         norm = scores / max_score if max_score > 0 else scores / 255.0
         finals = (prec + norm).astype(np.float32)
-        order = np.lexsort((uk, -finals))[:k]
+        n = finals.size
+        if n > 4096 and k < n:
+            # top-k selection instead of a full lexsort: every entry with
+            # finals >= the k-th largest value is kept (boundary ties
+            # included), so ordering the selection by (-finals, key) is
+            # identical to the full sort's first k
+            thresh = np.partition(finals, n - k)[n - k]
+            sel = np.flatnonzero(finals >= thresh)
+            if sel.size <= 100_000:
+                sub = np.lexsort((uk[sel], -finals[sel]))[:k]
+                order = sel[sub]
+            else:
+                order = np.lexsort((uk, -finals))[:k]
+        else:
+            order = np.lexsort((uk, -finals))[:k]
         return [(int(uk[i]), float(finals[i])) for i in order]
 
     def _short_fuzzy_terms(self, q: str, patterns: list[str]):
         """Vectorized ProcessFuzzyFallback term scan: (term, mult) for
         every live dictionary term containing any query char (mult 2
         when a char matches at a word boundary), excluding
-        pattern-prefixed terms — pandas C string ops over a cached term
-        Series instead of a per-term Python loop."""
+        pattern-prefixed terms. Preferred path: union of the build-time
+        per-char term lists (char_terms table — O(candidate terms), no
+        dictionary scan); falls back to pandas C string ops over a
+        cached term Series when the table is absent or a char row was
+        cap-withheld."""
+        import pandas as pd
+
+        get_ct = getattr(self.r, "char_terms", None)
+        if get_ct is not None and getattr(self.r, "_char_terms_ds", None) is not None:
+            terms_l: list[np.ndarray] = []
+            wb_l: list[np.ndarray] = []
+            ok = True
+            for ch in dict.fromkeys(q):
+                got = get_ct(ch)
+                if got is None:
+                    ok = False
+                    break
+                terms_l.append(got[0])
+                wb_l.append(got[1])
+            if ok:
+                if not terms_l or not sum(len(t) for t in terms_l):
+                    return []
+                tcat = np.concatenate(terms_l)
+                wbcat = np.concatenate(wb_l)
+                uniq, inv = np.unique(tcat, return_inverse=True)
+                wb_any = np.bincount(inv, weights=wbcat.astype(np.float64)) > 0
+                ser = pd.Series(uniq)
+                excl = np.zeros(len(uniq), dtype=bool)
+                for pat in patterns:
+                    excl |= ser.str.startswith(pat).to_numpy()
+                sel = ~excl
+                if not sel.any():
+                    return []
+                mult = np.where(wb_any[sel], 2.0, 1.0)
+                return list(zip(ser[sel].tolist(), mult.tolist()))
         all_terms = self.r.sorted_terms()
         if all_terms is None:
             return None
-        import pandas as pd
 
         cached = getattr(self, "_terms_ser", None)
         if cached is None or cached[0] is not all_terms:
@@ -1568,11 +1708,23 @@ class QueryExecutor:
                 fast = False  # rep doc missing from the cache: stay exact
             else:
                 pos = pos_c
+        def _member(arr: np.ndarray, probe: np.ndarray) -> np.ndarray:
+            # membership via binary search when the postings list is
+            # sorted (they are written doc-id ascending); falls back to
+            # np.isin otherwise. Equal results either way.
+            if arr.size == 0:
+                return np.zeros(probe.size, dtype=bool)
+            if np.all(arr[1:] >= arr[:-1]):
+                pos = np.searchsorted(arr, probe)
+                np.clip(pos, 0, arr.size - 1, out=pos)
+                return arr[pos] == probe
+            return np.isin(probe, arr)
+
         if fast:
             if len(qtokens) >= 2:
                 n_match = np.zeros(rep.size, dtype=np.int64)
                 for t in qtokens:
-                    n_match += np.isin(rep, word_docs[t])
+                    n_match += _member(word_docs[t], rep)
                 all_present = n_match == len(qtokens)
                 n_words = meta["n_tokens"][pos]
                 return np.where(
@@ -1582,7 +1734,7 @@ class QueryExecutor:
                 ).astype(np.int64)
             prec = np.zeros(rep.size, dtype=np.int64)
             if q_is_word:
-                any_exact = np.isin(rep, word_docs[q])
+                any_exact = _member(word_docs[q], rep)
                 first_exact = meta["first_word3"][pos] == q
                 prec += any_exact * 1 + first_exact * 4
             # startswith(q) == equality on the len(q)-char prefix column

@@ -139,14 +139,13 @@ def main() -> None:
     for _ in range(REPS):  # alternate levels so host noise hits both
         lows.append(_run_level(LOW))
         highs.append(_run_level(HIGH))
-    # Two estimators, both reported: the MEDIAN characterizes a typical
-    # run on this host, but the host carries a variable co-tenant whose
-    # disk/memory-bandwidth pressure is NOT excluded by the taskset mask
-    # and lands asymmetrically across the alternating runs (±10-15%
-    # plus multi-minute spikes). The MIN pair is the lower envelope —
-    # the closest observable estimate of the machine's (and the job's)
-    # intrinsic scaling with the foreign load factored out — so the
-    # headline efficiency uses min; every raw wall is recorded below.
+    # Two estimators, both reported. HEADLINE = the MEDIAN pair: it
+    # characterizes a typical run on this host and does not privilege
+    # the most favorable observation (ADVICE r3 #5 — the co-tenant noise
+    # argument cuts both ways). The MIN pair (lower envelope, foreign
+    # disk/memory-bandwidth load factored out as far as observable) is
+    # reported as the secondary estimator; every raw wall is recorded
+    # below.
     low_wall = min(r["wall_sec"] for r in lows)
     high_wall = min(r["wall_sec"] for r in highs)
     low_med = statistics.median(r["wall_sec"] for r in lows)
@@ -166,19 +165,19 @@ def main() -> None:
                  "wall_sec_median": round(high_med, 2),
                  "docs_per_sec": round(high_dps, 1),
                  "all_walls": [round(r["wall_sec"], 2) for r in highs]},
-        "scaling_efficiency": round(efficiency, 3),
-        "scaling_efficiency_median": round(efficiency_median, 3),
+        "scaling_efficiency": round(efficiency_median, 3),
+        "scaling_efficiency_min_envelope": round(efficiency, 3),
         "target": 0.8,
-        "meets_target": efficiency >= 0.8,
+        "meets_target": efficiency_median >= 0.8,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "note": (
             "identical input + DAG (fixed shuffle partitions/buckets), "
             "fresh JVM per run, taskset-pinned to exactly N cores, warm "
             "python workers, alternating reps (all raw walls recorded); "
-            "headline efficiency = R_4N/(4*R_N) over the MIN wall per "
-            "level (lower envelope under a variable co-tenant whose "
-            "disk/memory-bandwidth pressure the core mask cannot "
-            "exclude); the median-based figure is reported alongside"
+            "headline efficiency = R_4N/(4*R_N) over the MEDIAN wall "
+            "per level (typical run); the min-wall lower envelope "
+            "(variable co-tenant disk/memory-bandwidth pressure the "
+            "core mask cannot exclude) is reported alongside"
         ),
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
@@ -203,12 +202,13 @@ standing in for the two cluster sizes), identical DAG at both levels,
 | {result['high']['cpus']} cores (4N) | {result['high']['wall_sec']} | {result['high']['wall_sec_median']} | {result['high']['docs_per_sec']} |
 
 Scaling efficiency R_4N/(4*R_N) = **{result['scaling_efficiency']}**
-(min-wall envelope; median-based {result['scaling_efficiency_median']}; target >= 0.8:
+(median walls — the headline; min-wall lower envelope
+{result['scaling_efficiency_min_envelope']}; target >= 0.8:
 {'met' if result['meets_target'] else 'NOT met'}), measured {result['measured_at']}. All raw
 walls: {result['low']['cpus']}c {result['low']['all_walls']} / {result['high']['cpus']}c {result['high']['all_walls']} — the host carries a
 variable co-tenant whose disk/memory-bandwidth pressure the taskset mask
-cannot exclude, so the min pair is the closest observable estimate of the
-job's intrinsic scaling; every raw wall is published for transparency.
+cannot exclude; the min pair estimates the job's intrinsic scaling with
+that load factored out, and every raw wall is published for transparency.
 """
     with open(path) as f:
         content = f.read()

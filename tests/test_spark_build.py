@@ -97,6 +97,61 @@ def test_resume_skips_done_buckets(spark, reference_docs, tmp_path):
     assert ex.search("batman", 3)[0][0] == 6
 
 
+def test_resume_after_lost_checkpoint_no_duplicates(
+    spark, reference_docs, tmp_path
+):
+    """Crash window regression (ADVICE r3 #1): postings written but the
+    (async) checkpoint lost — a resumed build must not append duplicate
+    (term, bucket) rows. Simulated by deleting the whole checkpoints dir
+    after a successful build."""
+    import shutil as _sh
+
+    out = str(tmp_path / "idx3")
+    docs = spark.createDataFrame(
+        [(i, key, text) for i, (key, text) in enumerate(reference_docs)],
+        "doc_id long, doc_key long, text string",
+    )
+    build_index(spark, docs, out, n_buckets=4, salts=2, bucket_groups=2)
+    before = (
+        spark.read.parquet(out + "/postings")
+        .groupBy("term", "bucket")
+        .count()
+        .orderBy("term", "bucket")
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in before)
+    _sh.rmtree(out + "/checkpoints")
+    build_index(
+        spark, docs, out, n_buckets=4, salts=2, bucket_groups=2, resume=True
+    )
+    after = (
+        spark.read.parquet(out + "/postings")
+        .groupBy("term", "bucket")
+        .count()
+        .orderBy("term", "bucket")
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in after), "duplicated postings rows"
+    assert len(after) == len(before)
+    ex = QueryExecutor(IndexReader(out))
+    assert ex.search("batman", 3)[0][0] == 6
+
+
+def test_fields_build_rejects_large_gram_sizes(spark, tmp_path):
+    """ADVICE r3 #3: the vectorized fields fold only supports gram sizes
+    <= 3 (uint64 key packing); larger configs must fail loudly."""
+    docs = spark.createDataFrame(
+        [(0, 0, "a title", "a body")],
+        "doc_id long, doc_key long, title string, body string",
+    )
+    with pytest.raises(Exception) as exc:
+        build_index(
+            spark, docs, str(tmp_path / "idx4"), n_buckets=2,
+            fields=[("title", 0), ("body", 2)], sizes=(3, 4), aux=False,
+        )
+    assert "sizes <= 3" in str(exc.value)
+
+
 @pytest.mark.parametrize("query", QUERIES)
 def test_wand_equals_exhaustive(built_index, query):
     out, _ = built_index

@@ -1,0 +1,134 @@
+"""sq_topk champion lists == live _search_short_query, bit for bit.
+
+The build-time table stores the FULL top-K short-query answers for hot
+2-char single-token queries; the live path stays authoritative for
+sparse/fuzzy queries, k beyond the stored depth, and under tombstones.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from infidex_spark.build.indexer import build_index
+from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+QUERIES = [
+    "fo", "th", "ba", "tw", "qu", "zz", "xq", "ab", "an", "of",
+    "a b", "t o", "a t", "q z", "z q",
+]
+
+
+@pytest.fixture(scope="module")
+def sq_index(spark, tmp_path_factory):
+    from infidex_spark.webtext import generate_webtext, with_doc_ids
+
+    out = str(tmp_path_factory.mktemp("sqtopk") / "idx")
+    wt = generate_webtext(spark, 2000, seed=7)
+    docs = with_doc_ids(wt).selectExpr("doc_id", "doc_id as doc_key", "text")
+    build_index(spark, docs, out, n_buckets=8, short_precompute=True)
+    return out
+
+
+def test_table_exists_and_serves(sq_index):
+    r = IndexReader(sq_index)
+    assert os.path.isdir(os.path.join(sq_index, "sq_topk"))
+    served = [q for q in QUERIES if len(q) == 2 and r.sq_topk(q) is not None]
+    # the webtext vocabulary guarantees several hot 2-char prefixes
+    assert served, "no champion rows built"
+    for q in served:
+        row = r.sq_topk(q)
+        assert len(row) >= 10
+    # two-token champions (fold-path extra) should exist for common
+    # first letters
+    assert any(
+        r.sq_topk(q) is not None for q in QUERIES if " " in q
+    ), "no two-token champion rows"
+
+
+def test_table_path_equals_live_path(sq_index):
+    ex_table = QueryExecutor(IndexReader(sq_index))
+    live_reader = IndexReader(sq_index)
+    live_reader._sq_topk_map = {}  # force champion-miss -> live path
+    ex_live = QueryExecutor(live_reader)
+    for q in QUERIES:
+        got = ex_table.search(q, 10)
+        want = ex_live.search(q, 10)
+        assert got == want, (q, got, want)
+
+
+def test_k_beyond_stored_depth_falls_back(sq_index):
+    r = IndexReader(sq_index)
+    ex = QueryExecutor(r)
+    live_reader = IndexReader(sq_index)
+    live_reader._sq_topk_map = {}
+    ex_live = QueryExecutor(live_reader)
+    served = [q for q in QUERIES if len(q) == 2 and r.sq_topk(q) is not None]
+    q = served[0]
+    k = len(r.sq_topk(q)) + 37
+    assert ex.search(q, k) == ex_live.search(q, k)
+
+
+def test_fold_and_join_paths_agree(spark, sq_index, tmp_path):
+    """The broadcast-fold dataflow and the pure-join dataflow must emit
+    identical tables (the join path is the >8M-doc scale fallback)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from infidex_spark.build.indexer import _build_sq_topk
+
+    fold_tbl = pq.read_table(os.path.join(sq_index, "sq_topk")).sort_by("q")
+    bak = str(tmp_path / "sq_topk_fold")
+    shutil.copytree(os.path.join(sq_index, "sq_topk"), bak)
+    try:
+        _build_sq_topk(
+            spark, sq_index, os.path.join(sq_index, "postings"), (3,), 2,
+            force_path="join",
+        )
+        join_tbl = pq.read_table(os.path.join(sq_index, "sq_topk")).sort_by("q")
+        # the join path emits single-token champions only; compare on
+        # that common subset
+        import pyarrow.compute as pc
+
+        fsub = fold_tbl.filter(
+            pc.equal(pc.count_substring(fold_tbl["q"], " "), 0)
+        )
+        assert fsub.column("q").to_pylist() == join_tbl.column("q").to_pylist()
+        assert fsub.column("doc_keys").to_pylist() == join_tbl.column("doc_keys").to_pylist()
+        assert fsub.column("finals").to_pylist() == join_tbl.column("finals").to_pylist()
+        assert fsub.column("n_matched").to_pylist() == join_tbl.column("n_matched").to_pylist()
+    finally:
+        shutil.rmtree(os.path.join(sq_index, "sq_topk"), ignore_errors=True)
+        shutil.copytree(bak, os.path.join(sq_index, "sq_topk"))
+
+
+def test_char_terms_equals_scan(sq_index):
+    """char_terms-backed fuzzy fallback == the legacy full-dictionary
+    scan (same terms, same multipliers, same order)."""
+    from infidex_spark.kernel.engine import build_prefix_patterns
+
+    r = IndexReader(sq_index)
+    assert os.path.isdir(os.path.join(sq_index, "char_terms"))
+    ex_tbl = QueryExecutor(IndexReader(sq_index))
+    scan_reader = IndexReader(sq_index)
+    scan_reader._char_terms_ds = None  # force legacy scan
+    ex_scan = QueryExecutor(scan_reader)
+    for q in ["qz", "xq", "zz", "ab", "q z"]:
+        pats = build_prefix_patterns(q, r.sizes[0], r.start_pad)
+        got = ex_tbl._short_fuzzy_terms(q, pats)
+        want = ex_scan._short_fuzzy_terms(q, pats)
+        assert got == want, (q, got[:5], want[:5])
+
+
+def test_tombstones_disable_table(sq_index):
+    r = IndexReader(sq_index)
+    served = [q for q in QUERIES if len(q) == 2 and r.sq_topk(q) is not None]
+    q = served[0]
+    row = r.sq_topk(q)
+    victim = int(row[0][0])
+    r.tombstones = frozenset({victim})
+    ex = QueryExecutor(r)
+    got = ex.search(q, 10)
+    assert all(d != victim for d, _ in got)
