@@ -264,3 +264,40 @@ def decode_posting_blocks(
     doc_ids = np.cumsum(gaps) + base
     w = np.frombuffer(weights, dtype=np.uint8)[s:e]
     return doc_ids, w
+
+
+# ---- CompactArray (C4): n-bit packed unsigned integers ----------------
+# Reference: src/Infidex/Compression/CompactArray.cs:12-46 — fixed-width
+# bit packing chosen per array from the max value. Used for the pattern
+# store's per-doc score sums (typical width ~8-12 bits vs int32 storage).
+
+
+def nbit_width(values: np.ndarray) -> int:
+    """Bits needed for the max value (>= 1 so empty/zero arrays stay
+    round-trippable)."""
+    if values.size == 0:
+        return 1
+    return max(1, int(values.max()).bit_length())
+
+
+def pack_nbit(values: np.ndarray, bits: int) -> bytes:
+    """Pack unsigned ints (< 2^bits, bits <= 32) MSB-first into
+    ceil(n*bits/8) bytes. Fully vectorized (unpackbits/packbits)."""
+    if values.size == 0:
+        return b""
+    v = np.ascontiguousarray(values.astype(">u4")).view(np.uint8).reshape(-1, 4)
+    allbits = np.unpackbits(v, axis=1)
+    return np.packbits(allbits[:, 32 - bits :].ravel()).tobytes()
+
+
+def unpack_nbit(buf, n: int, bits: int) -> np.ndarray:
+    """Inverse of pack_nbit -> int64 array of length n."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    b = np.unpackbits(raw, count=n * bits).reshape(n, bits)
+    out = np.zeros((n, 32), dtype=np.uint8)
+    out[:, 32 - bits :] = b
+    return (
+        np.packbits(out, axis=1).reshape(n, 4).view(">u4").astype(np.int64).ravel()
+    )

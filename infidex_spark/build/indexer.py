@@ -449,6 +449,7 @@ def build_index(
     fields: list[tuple[str, int]] | None = None,
     html_col: str | None = None,
     short_precompute: bool | None = None,
+    slim_doc_meta: bool = True,
 ) -> dict:
     """Build the full index under out_dir. Returns the manifest dict.
 
@@ -596,17 +597,25 @@ def build_index(
         F.min("doc_id").alias("mn"),
     ).collect()[0]
     n_docs_total = agg_row["n"]
-    # dense-id contract (ADVICE r3 #4): the short-query aggregation and
-    # the sq_topk sidecar allocate O(max_id) arrays on the assumption
-    # that internal doc ids are dense [0, N). Enforce it here, where a
-    # violation is a caller bug, instead of letting a sparse id space
-    # turn into multi-GB per-query allocations later.
-    if n_docs_total and (
-        agg_row["mn"] < 0 or agg_row["mx"] >= n_docs_total
-    ):
-        raise ValueError(
-            "doc_id must be dense [0, N): got min="
-            f"{agg_row['mn']}, max={agg_row['mx']} for N={n_docs_total}"
+    # id-space contract (ADVICE r3 #4): internal doc ids must be
+    # non-negative and near-dense — the short-query aggregation and the
+    # sq_topk sidecar allocate O(max_id) arrays. Delta segments
+    # legitimately carry a global base offset (min > 0), so density is
+    # advisory: negative ids are an error, a grossly sparse space (max
+    # >> count, e.g. hash-valued ids) gets a loud warning (the query
+    # side additionally falls back to sort-based aggregation for such
+    # ids rather than allocating O(max_id)).
+    if n_docs_total and agg_row["mn"] < 0:
+        raise ValueError(f"doc_id must be >= 0: got min={agg_row['mn']}")
+    if n_docs_total and agg_row["mx"] >= max(16 * n_docs_total, 1_000_000):
+        import warnings
+
+        warnings.warn(
+            f"doc_id space is sparse (max={agg_row['mx']}, "
+            f"count={n_docs_total}): dense per-id structures degrade to "
+            "sort-based paths; prefer dense [base, base+N) ids",
+            RuntimeWarning,
+            stacklevel=2,
         )
 
     # ---- term df + stop-term identification (shuffle 1, one pass)
@@ -875,6 +884,18 @@ def build_index(
     avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
     if fut_prefixes is not None:
         fut_prefixes.result()
+    f_sqt = None
+    if do_ps:
+        # champion lists need pattern_scores + doc_meta (prefixes chain)
+        # + doc_stats — all landed; submit NOW so the single distributed
+        # pass overlaps the word_family tail instead of serializing
+        # after it
+        if f_ps is not None:
+            f_ps.result()
+        f_sqt = pool.submit(
+            _timed, "sq_topk", _build_sq_topk, spark, out_dir,
+            os.path.join(out_dir, "postings"), sizes, start_pad,
+        )
     if fut_word_family is not None:
         fut_word_family.result()
     _mark("join_doc_stats_prefixes")
@@ -884,18 +905,15 @@ def build_index(
         f_var.result()
     if f_td is not None:
         f_td.result()
-    if f_ps is not None:
-        f_ps.result()
     if f_ct is not None:
         f_ct.result()
+    if f_sqt is not None:
+        f_sqt.result()
     pool.shutdown()
-    if do_ps:
-        # champion lists need pattern_scores + doc_meta + doc_stats, all
-        # landed by now; one distributed pass, no driver-side loops
-        _timed(
-            "sq_topk", _build_sq_topk, spark, out_dir,
-            os.path.join(out_dir, "postings"), sizes, start_pad,
-        )
+    if aux and slim_doc_meta:
+        # last (sq_topk and the doc_store read the full columns): drop
+        # the duplicate text columns from doc_meta
+        _timed("slim_doc_meta", _slim_doc_meta, out_dir)
     _mark("variants")
     if tokens_storage == "memory":
         tokens.unpersist()
@@ -1625,6 +1643,29 @@ def _write_pattern_store(out_dir: str, cap_docs: int = 5_000_000) -> None:
         tbl.schema.get_field_index("doc_ids"), "doc_ids",
         pc.cast(tbl["doc_ids"], pa.list_(pa.uint32())),
     ).combine_chunks()
+    # scores as per-row CompactArray (n-bit packed, width from the row
+    # max — Compression/CompactArray.cs): score sums are <= 255 * 4096
+    # (~20 bits) and typically ~8-12, vs 32 bits stored before
+    from infidex_spark.build.codec import nbit_width, pack_nbit
+
+    sc_col = tbl["scores"].combine_chunks()
+    if hasattr(sc_col, "chunk"):
+        sc_col = sc_col.chunk(0) if sc_col.num_chunks else pa.array([], pa.list_(pa.int32()))
+    sc_flat = sc_col.values.to_numpy() if len(sc_col) else np.zeros(0, np.int32)
+    sc_offs = sc_col.offsets.to_numpy() if len(sc_col) else np.zeros(1, np.int64)
+    packed: list[bytes] = []
+    bits_l: list[int] = []
+    for r in range(len(sc_col)):
+        vals = sc_flat[sc_offs[r] : sc_offs[r + 1]]
+        bits = nbit_width(vals)
+        bits_l.append(bits)
+        packed.append(pack_nbit(vals, bits))
+    tbl = (
+        tbl.remove_column(tbl.schema.get_field_index("scores"))
+        .append_column("scores_packed", pa.array(packed, pa.binary()))
+        .append_column("score_bits", pa.array(bits_l, pa.uint8()))
+        .combine_chunks()
+    )
     with pa.OSFile(os.path.join(out_dir, "pattern_scores.arrow"), "wb") as sink:
         with pa.ipc.new_file(sink, tbl.schema) as writer:
             writer.write_table(tbl)
@@ -2119,6 +2160,43 @@ def _build_sq_topk(
         )
     )
     top.write.mode("overwrite").parquet(os.path.join(out_dir, "sq_topk"))
+
+
+def _slim_doc_meta(out_dir: str) -> bool:
+    """Drop the two full-text-sized columns (text, words_text) from
+    doc_meta once the doc_store sidecar holds the texts — the round-3
+    index stored every document's text three times (doc_meta.text,
+    doc_meta.words_text, doc_store.arrow). Readers serve texts from the
+    doc_store and re-derive words_text with the build's own delimiter
+    collapse (doc_title_rows), so nothing is lost. Runs only when
+    doc_store.arrow exists (the text columns stay authoritative above
+    DOC_STORE_CAP) and rewrites file-by-file with zstd."""
+    import pyarrow.parquet as pq
+
+    if not os.path.exists(os.path.join(out_dir, "doc_store.arrow")):
+        return False
+    meta_dir = os.path.join(out_dir, "doc_meta")
+    if not os.path.isdir(meta_dir):
+        return False
+    for dp, _, fs in os.walk(meta_dir):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(dp, f)
+            pf = pq.ParquetFile(path)
+            names = pf.schema_arrow.names
+            keep = [c for c in names if c not in ("text", "words_text")]
+            if len(keep) == len(names):
+                continue
+            tbl = pq.read_table(path, columns=keep)
+            tmp = path + ".slim"
+            pq.write_table(tbl, tmp, compression="zstd")
+            os.replace(tmp, path)
+            # drop the Hadoop client-side checksum sidecar (now stale)
+            crc = os.path.join(dp, "." + f + ".crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+    return True
 
 
 CHAR_TERMS_CAP = 2_000_000  # terms per char; reader falls back to scan

@@ -771,7 +771,7 @@ class IndexReader:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         store = self._open_ps_store()
         if store is not None:
-            pats_sorted, order, ids_flat, sc_flat, offs, n_docs = store
+            pats_sorted, order, ids_flat, scores, offs, n_docs = store
             i = int(np.searchsorted(pats_sorted, pattern))
             if i >= pats_sorted.size or pats_sorted[i] != pattern:
                 return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
@@ -779,7 +779,18 @@ class IndexReader:
             lo, hi = int(offs[row]), int(offs[row + 1])
             if int(n_docs[row]) > hi - lo:
                 return None  # withheld (cap_docs exceeded at build)
-            return ids_flat[lo:hi], sc_flat[lo:hi]
+            if scores[0] == "packed":
+                from infidex_spark.build.codec import unpack_nbit
+
+                _, buf, poffs, bits = scores
+                sc = unpack_nbit(
+                    buf[int(poffs[row]) : int(poffs[row + 1])],
+                    hi - lo,
+                    int(bits[row]),
+                )
+            else:
+                sc = scores[1][lo:hi]
+            return ids_flat[lo:hi], sc
         b = term_bucket(pattern, self._ps_buckets)
         tbl = self._pattern_scores.to_table(
             columns=["doc_ids", "scores", "n_docs"],
@@ -915,14 +926,37 @@ class IndexReader:
                 tbl = pa.ipc.open_file(pa.memory_map(path)).read_all()
                 tbl = tbl.combine_chunks()
                 ids_col = tbl["doc_ids"].chunk(0)
-                sc_col = tbl["scores"].chunk(0)
                 pats = tbl["pattern"].to_numpy().astype("<U4")
                 order = np.argsort(pats, kind="stable")
+                if "scores_packed" in tbl.schema.names:
+                    # CompactArray rows (n-bit packed scores): keep the
+                    # binary column's flat buffer + offsets; decode the
+                    # probed row's slice only
+                    pk = tbl["scores_packed"].chunk(0)
+                    bufs = pk.buffers()
+                    data = (
+                        np.frombuffer(bufs[2], dtype=np.uint8)
+                        if bufs[2] is not None
+                        else np.zeros(0, dtype=np.uint8)
+                    )
+                    # binary array buffers: [validity, int32 offsets, data]
+                    poffs = np.frombuffer(bufs[1], dtype=np.int32)[
+                        pk.offset : pk.offset + len(pk) + 1
+                    ]
+                    scores = (
+                        "packed",
+                        data,
+                        poffs,
+                        tbl["score_bits"].to_numpy(),
+                    )
+                else:  # legacy int32 list column
+                    sc_col = tbl["scores"].chunk(0)
+                    scores = ("flat", sc_col.values.to_numpy(), None, None)
                 self._ps_store = (
                     pats[order],
                     order,
                     ids_col.values.to_numpy(),
-                    sc_col.values.to_numpy(),
+                    scores,
                     ids_col.offsets.to_numpy(),
                     tbl["n_docs"].to_numpy(),
                 )
@@ -976,11 +1010,26 @@ class IndexReader:
     ) -> tuple[dict[int, str], dict[int, str] | None]:
         """(text, words_text) per internal doc id. words_text is the
         space-joined word stream with sentinel spaces (None when the index
-        predates the column)."""
+        predates the column). Slim indexes (doc_meta without the text
+        columns — _slim_doc_meta) serve texts from the doc_store and
+        re-derive words_text with the build's exact delimiter collapse."""
         if self._doc_meta is None or not doc_ids:
             return {}, None
+        names = self._doc_meta.schema.names
+        if "text" not in names:
+            texts = self.doc_texts(doc_ids)
+            if not texts:
+                return {}, None
+            import pandas as pd
+
+            from infidex_spark.build.tokenizer import _DELIM_SPLIT
+
+            ser = pd.Series(list(texts.values()))
+            joined = ser.str.replace(_DELIM_SPLIT, " ", regex=True).str.strip()
+            wt = (" " + joined + " ").where(joined != "", " ")
+            return texts, dict(zip(texts.keys(), wt.tolist()))
         cols = ["doc_id", "text"]
-        has_words = "words_text" in self._doc_meta.schema.names
+        has_words = "words_text" in names
         if has_words:
             cols.append("words_text")
         tbl = self._doc_meta.to_table(

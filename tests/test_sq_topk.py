@@ -70,38 +70,42 @@ def test_k_beyond_stored_depth_falls_back(sq_index):
     assert ex.search(q, k) == ex_live.search(q, k)
 
 
-def test_fold_and_join_paths_agree(spark, sq_index, tmp_path):
+def test_fold_and_join_paths_agree(spark, tmp_path_factory):
     """The broadcast-fold dataflow and the pure-join dataflow must emit
-    identical tables (the join path is the >8M-doc scale fallback)."""
-    import shutil
-
+    identical tables (the join path is the >8M-doc scale fallback).
+    Built with slim_doc_meta=False: both dataflows read the full
+    doc_meta columns (production runs them before the slimming step)."""
     import pyarrow.parquet as pq
 
     from infidex_spark.build.indexer import _build_sq_topk
+    from infidex_spark.webtext import generate_webtext, with_doc_ids
 
+    out = str(tmp_path_factory.mktemp("sqfj") / "idx")
+    wt = generate_webtext(spark, 1200, seed=11)
+    docs = with_doc_ids(wt).selectExpr("doc_id", "doc_id as doc_key", "text")
+    build_index(
+        spark, docs, out, n_buckets=8, short_precompute=True,
+        slim_doc_meta=False,
+    )
+    sq_index = out
     fold_tbl = pq.read_table(os.path.join(sq_index, "sq_topk")).sort_by("q")
-    bak = str(tmp_path / "sq_topk_fold")
-    shutil.copytree(os.path.join(sq_index, "sq_topk"), bak)
-    try:
-        _build_sq_topk(
-            spark, sq_index, os.path.join(sq_index, "postings"), (3,), 2,
-            force_path="join",
-        )
-        join_tbl = pq.read_table(os.path.join(sq_index, "sq_topk")).sort_by("q")
-        # the join path emits single-token champions only; compare on
-        # that common subset
-        import pyarrow.compute as pc
+    _build_sq_topk(
+        spark, sq_index, os.path.join(sq_index, "postings"), (3,), 2,
+        force_path="join",
+    )
+    join_tbl = pq.read_table(os.path.join(sq_index, "sq_topk")).sort_by("q")
+    # the join path emits single-token champions only; compare on that
+    # common subset
+    import pyarrow.compute as pc
 
-        fsub = fold_tbl.filter(
-            pc.equal(pc.count_substring(fold_tbl["q"], " "), 0)
-        )
-        assert fsub.column("q").to_pylist() == join_tbl.column("q").to_pylist()
-        assert fsub.column("doc_keys").to_pylist() == join_tbl.column("doc_keys").to_pylist()
-        assert fsub.column("finals").to_pylist() == join_tbl.column("finals").to_pylist()
-        assert fsub.column("n_matched").to_pylist() == join_tbl.column("n_matched").to_pylist()
-    finally:
-        shutil.rmtree(os.path.join(sq_index, "sq_topk"), ignore_errors=True)
-        shutil.copytree(bak, os.path.join(sq_index, "sq_topk"))
+    fsub = fold_tbl.filter(
+        pc.equal(pc.count_substring(fold_tbl["q"], " "), 0)
+    )
+    assert len(fsub) > 0
+    assert fsub.column("q").to_pylist() == join_tbl.column("q").to_pylist()
+    assert fsub.column("doc_keys").to_pylist() == join_tbl.column("doc_keys").to_pylist()
+    assert fsub.column("finals").to_pylist() == join_tbl.column("finals").to_pylist()
+    assert fsub.column("n_matched").to_pylist() == join_tbl.column("n_matched").to_pylist()
 
 
 def test_char_terms_equals_scan(sq_index):
