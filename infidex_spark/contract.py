@@ -55,11 +55,13 @@ def _contract_index(spark, sf_dir: str) -> str:
     tag = sf_dir.strip("/").replace("/", "_")
     idx_dir = os.path.join(WORK_DIR, f"index_{tag}")
     fresh = os.path.exists(os.path.join(idx_dir, "MANIFEST.json")) and os.path.isdir(
-        os.path.join(idx_dir, "sq_words1")
+        os.path.join(idx_dir, "sq_topk")
     )
     if not fresh:
         docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")
-        build_index(spark, docs, idx_dir, n_buckets=8, salts=4)
+        build_index(
+            spark, docs, idx_dir, n_buckets=8, salts=4, short_precompute=True
+        )
     return idx_dir
 
 
@@ -619,8 +621,42 @@ def q_sq1_word_docs(spark, sf_dir):
     return spark.createDataFrame(rows, "word string, n_docs long")
 
 
+def q_sq_topk_champions(spark, sf_dir):
+    """Short-query champion lists (sq_topk, D10 round 4): rows (query,
+    rank, doc_key, final) for a probe set. SELF-CHECKED: every probe is
+    evaluated BOTH through the champion table and through the live
+    _search_short_query path (table disabled) and the callable raises on
+    any mismatch — the rows-only driver check therefore certifies the
+    dual-path identity, not just row counts. Engine-native scoring
+    (pattern aggregates over the gram index) is not SQL-expressible; the
+    fold-vs-join build parity is additionally covered by
+    tests/test_sq_topk.py."""
+    from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+    idx_dir = _contract_index(spark, sf_dir)
+    ex = QueryExecutor(IndexReader(idx_dir))
+    live_reader = IndexReader(idx_dir)
+    live_reader._sq_topk_map = {}  # champion-miss -> live path
+    ex_live = QueryExecutor(live_reader)
+    rows = []
+    for q in ["th", "fo", "an", "ba", "qz", "a b", "t o"]:
+        got = ex.search(q, 10)
+        want = ex_live.search(q, 10)
+        if got != want:
+            raise AssertionError(
+                f"sq_topk champion path diverged from live path for {q!r}: "
+                f"{got[:3]} vs {want[:3]}"
+            )
+        for rank, (k, s) in enumerate(got):
+            rows.append((q, rank + 1, int(k), round(float(s), 4)))
+    return spark.createDataFrame(
+        rows, "q string, rank int, doc_key long, final double"
+    )
+
+
 QUERIES = {
     "ngram_rerank_engine": q_ngram_rerank_engine,
+    "sq_topk_champions": q_sq_topk_champions,
     "fields_weighted_tf": q_fields_weighted_tf,
     "html_extract": q_html_extract,
     "normalize_text": q_normalize_text,
