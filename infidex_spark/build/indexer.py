@@ -1676,46 +1676,56 @@ SQ_TOPK_MIN_MATCHED = 100  # below this the live path adds fuzzy fallback
 SQ_TOPK_BROADCAST_DOCS = 8_000_000  # fold-path sidecar cap (~40 B/doc)
 
 
-def _sq_topk_sidecar(out_dir: str) -> dict:
+def _sq_topk_sidecar(spark: SparkSession, out_dir: str) -> dict:
     """Per-doc precedence sidecar for the fold path: doc-id-indexed
     numpy arrays (doc_key, first-2 chars, first word <=3 chars,
-    whitespace-trimmed tiny text <=3 chars). Built from parquet in
-    batches — full text columns never materialize at once (the cap
-    pattern ADVICE flagged on doc_store)."""
-    import pyarrow.parquet as pq
+    whitespace-trimmed tiny text <=3 chars, n_tokens). The text-column
+    scanning (substring/strip/first-word) runs as a SPARK projection —
+    parallel, so it scales with the cluster instead of serializing on
+    the driver (the round-3-style driver pandas pass cost ~10 s of
+    SERIAL wall at 400k docs, a direct N->4N efficiency tax); the
+    driver only collects the resulting small (<=20 B/doc) columns."""
 
-    stats = pq.read_table(
-        os.path.join(out_dir, "doc_stats"), columns=["doc_id", "doc_key"]
+    @F.pandas_udf("string")
+    def py_strip3(s: pd.Series) -> pd.Series:
+        # Python str.strip() whitespace semantics (the live path's
+        # titles.str.strip()); only values short enough to ever equal a
+        # <=3-char query survive
+        t = s.fillna("").str.strip()
+        return t.where(t.str.len() <= 3, None)
+
+    meta = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+    fw = F.element_at(F.split(F.col("words_text"), " "), 2)
+    side = (
+        meta.select(
+            "doc_id",
+            F.substring("text", 1, 2).alias("first2"),
+            F.when(F.length(fw) <= 3, fw).alias("fw3"),
+            py_strip3(F.col("text")).alias("tiny"),
+            F.col("n_tokens").cast("int").alias("ntok"),
+        )
+        .join(
+            spark.read.parquet(os.path.join(out_dir, "doc_stats")).select(
+                "doc_id", "doc_key"
+            ),
+            "doc_id",
+        )
+        .toPandas()
     )
-    sids = stats["doc_id"].to_numpy()
-    n = int(sids.max()) + 1 if len(sids) else 0
+    if len(side) == 0:
+        return {"n": 0}
+    ids = side["doc_id"].to_numpy()
+    n = int(ids.max()) + 1
     key_arr = np.zeros(n, dtype=np.int64)
-    key_arr[sids] = stats["doc_key"].to_numpy()
+    key_arr[ids] = side["doc_key"].to_numpy()
     first2 = np.full(n, "", dtype="<U2")
+    first2[ids] = side["first2"].fillna("").to_numpy(dtype="<U2")
     fw3 = np.full(n, "\x00", dtype="<U3")
+    fw3[ids] = side["fw3"].fillna("\x00").to_numpy(dtype="<U3")
     tiny = np.full(n, "\x00", dtype="<U3")
+    tiny[ids] = side["tiny"].fillna("\x00").to_numpy(dtype="<U3")
     ntok = np.zeros(n, dtype=np.int32)
-    meta_dir = os.path.join(out_dir, "doc_meta")
-    files = [
-        os.path.join(dp, f)
-        for dp, _, fs in os.walk(meta_dir)
-        for f in fs
-        if f.endswith(".parquet")
-    ]
-    for path in files:
-        pf = pq.ParquetFile(path)
-        for batch in pf.iter_batches(
-            columns=["doc_id", "text", "words_text", "n_tokens"], batch_size=65536
-        ):
-            ids = batch.column(0).to_numpy()
-            text = batch.column(1).to_pandas().fillna("")
-            wt = batch.column(2).to_pandas().fillna(" ")
-            first2[ids] = text.str[:2].to_numpy(dtype="<U2")
-            t = text.str.strip()
-            tiny[ids] = t.where(t.str.len() <= 3, "\x00").to_numpy(dtype="<U3")
-            fw = wt.str.slice(1).str.partition(" ")[0]
-            fw3[ids] = fw.where(fw.str.len() <= 3, "\x00").to_numpy(dtype="<U3")
-            ntok[ids] = batch.column(3).to_numpy().astype(np.int32)
+    ntok[ids] = side["ntok"].to_numpy().astype(np.int32)
     return {
         "n": n, "key": key_arr, "first2": first2, "fw3": fw3, "tiny": tiny,
         "ntok": ntok,
@@ -1736,7 +1746,7 @@ def _sq_topk_fold(
     """Fold dataflow for _build_sq_topk: one packed repartition by q;
     per-q aggregation + precedence + top-k inside mapInPandas against
     the broadcast per-doc sidecar. Emits only top-k rows."""
-    side = _sq_topk_sidecar(out_dir)
+    side = _sq_topk_sidecar(spark, out_dir)
     if side["n"] == 0:
         spark.createDataFrame([], empty_schema).write.mode("overwrite").parquet(
             os.path.join(out_dir, "sq_topk")

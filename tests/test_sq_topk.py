@@ -136,3 +136,38 @@ def test_tombstones_disable_table(sq_index):
     ex = QueryExecutor(r)
     got = ex.search(q, 10)
     assert all(d != victim for d, _ in got)
+
+
+def test_slim_doc_meta_title_rows(sq_index):
+    """Slim indexes (doc_meta without text/words_text) must serve
+    doc_title_rows from the doc_store with an exactly re-derived
+    words_text, and the slow precedence path must equal the fast one."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    r = IndexReader(sq_index)
+    names = pq.ParquetDataset(os.path.join(sq_index, "doc_meta")).schema.names
+    assert "text" not in names and "words_text" not in names, "not slim"
+    texts, wtexts = r.doc_title_rows([0, 1, 2, 3, 4])
+    assert len(texts) == 5 and wtexts is not None
+    for i, t in texts.items():
+        w = wtexts[i]
+        assert w.startswith(" ") and w.endswith(" ")
+        # every word of the text appears wrapped in sentinels
+        from infidex_spark.kernel.tokenize import word_tokens
+
+        for tok in word_tokens(t, min_size=1):
+            assert f" {tok} " in w, (tok, w)
+    # slow-path precedence (uses doc_title_rows) == fast-path (sq_meta)
+    ex_fast = QueryExecutor(IndexReader(sq_index))
+    slow_r = IndexReader(sq_index)
+    slow_r._sq_meta = {}  # force the doc_title_rows point-fetch path
+    slow_r._sq_topk_map = {}  # and the live short-query path
+    ex_slow = QueryExecutor(slow_r)
+    fast_r = IndexReader(sq_index)
+    fast_r._sq_topk_map = {}  # live path but fast precedence
+    ex_fast_live = QueryExecutor(fast_r)
+    for q in ["fo", "th", "ab", "a b", "qz"]:
+        got = ex_slow.search(q, 10)
+        want = ex_fast_live.search(q, 10)
+        assert got == want, (q, got, want)
