@@ -889,12 +889,17 @@ def build_index(
         # champion lists need pattern_scores + doc_meta (prefixes chain)
         # + doc_stats — all landed; submit NOW so the single distributed
         # pass overlaps the word_family tail instead of serializing
-        # after it
+        # after it. The per-doc sidecar only needs doc_meta/doc_stats,
+        # so it runs concurrently with the pattern_scores tail too.
+        f_side = pool.submit(
+            _timed, "sq_sidecar", _sq_topk_sidecar, spark, out_dir
+        )
         if f_ps is not None:
             f_ps.result()
         f_sqt = pool.submit(
             _timed, "sq_topk", _build_sq_topk, spark, out_dir,
             os.path.join(out_dir, "postings"), sizes, start_pad,
+            side_fut=f_side,
         )
     if fut_word_family is not None:
         fut_word_family.result()
@@ -1742,11 +1747,13 @@ def _sq_topk_fold(
     tok_map,
     k: int,
     empty_schema: str,
+    side_fut=None,
 ) -> None:
     """Fold dataflow for _build_sq_topk: one packed repartition by q;
     per-q aggregation + precedence + top-k inside mapInPandas against
-    the broadcast per-doc sidecar. Emits only top-k rows."""
-    side = _sq_topk_sidecar(spark, out_dir)
+    the broadcast per-doc sidecar (precomputed concurrently when the
+    caller passes side_fut). Emits only top-k rows."""
+    side = side_fut.result() if side_fut is not None else _sq_topk_sidecar(spark, out_dir)
     if side["n"] == 0:
         spark.createDataFrame([], empty_schema).write.mode("overwrite").parquet(
             os.path.join(out_dir, "sq_topk")
@@ -1929,6 +1936,7 @@ def _build_sq_topk(
     start_pad: int,
     k: int = SQ_TOPK_K,
     force_path: str | None = None,
+    side_fut=None,
 ) -> None:
     """Champion lists for hot short queries (reference analogue:
     ShortQueryResolver's precomputed per-prefix champion lists,
@@ -2034,7 +2042,7 @@ def _build_sq_topk(
     if use_fold:
         _sq_topk_fold(
             spark, out_dir, postings_path, ps, pat_map, base_map, tok_map,
-            k, empty_schema,
+            k, empty_schema, side_fut=side_fut,
         )
         return
 

@@ -900,6 +900,165 @@ def _single_char_last(view: DocView, T: QueryTables, doc_text: str) -> int:
     return 0
 
 
+def _batch_final_scores(
+    shims: list[_StateShim],
+    q_len: int,
+    lcs_list: list[float],
+    cover_whole_query: bool,
+    word_level_term_idf: list[float] | None,
+) -> list[CoverageFeatures]:
+    """Vectorized calculate_final_score over the whole batch — the same
+    arithmetic in the same order (per-term accumulation loops run
+    sequentially over the <=8 query terms, elementwise across
+    candidates), so results are bit-identical to the scalar scorer."""
+    n = len(shims)
+    if n == 0:
+        return []
+    s0 = shims[0]
+    m = s0.q_count
+    maxc = s0.term_max_chars  # query-constant
+    idfs = s0.term_idf  # query-constant
+    TMC = np.array([s.term_matched_chars for s in shims], dtype=np.float64)
+    HW = np.array([s.term_has_whole for s in shims], dtype=bool)
+    HJ = np.array([s.term_has_joined for s in shims], dtype=bool)
+    HP = np.array([s.term_has_prefix for s in shims], dtype=bool)
+    FP = np.array([s.term_first_pos for s in shims], dtype=np.int64)
+    word_hits = np.fromiter((s.word_hits for s in shims), np.int64, n)
+    dtc = np.fromiter((s.doc_token_count for s in shims), np.int64, n)
+    num11 = np.fromiter(
+        (
+            s.num_joined + s.num_whole + s.num_fuzzy + s.num_prefix_suffix - s.penalty
+            for s in shims
+        ),
+        np.float64,
+        n,
+    )
+    lcs = np.asarray(lcs_list, dtype=np.float64)
+    if not cover_whole_query:
+        lcs = np.zeros(n, dtype=np.float64)
+    num11 = np.where((num11 == 0.0) & (lcs > 2.0), lcs - 2.0, num11)
+    if q_len:
+        cov = np.minimum(num11 / q_len * 255.0, 255.0).astype(np.int64)
+        cov = np.maximum(cov, 0)
+    else:
+        cov = np.zeros(n, dtype=np.int64)
+
+    sum_ci = np.zeros(n)
+    weighted_sum = np.zeros(n)
+    idf_weighted = np.zeros(n)
+    missing_idf = np.zeros(n)
+    twa = np.zeros(n, dtype=np.int64)
+    tfm = np.zeros(n, dtype=np.int64)
+    tsm = np.zeros(n, dtype=np.int64)
+    tpm = np.zeros(n, dtype=np.int64)
+    first_match = np.full(n, -1, dtype=np.int64)
+    min_pos = np.full(n, np.inf)
+    max_pos = np.full(n, -1.0)
+    total_weight = 0.0
+    total_idf = 0.0
+    last_ci = np.zeros(n)
+    last_idf = 0.0
+    term_ci = (
+        np.zeros((n, m)) if (word_level_term_idf is not None and m > 0) else None
+    )
+    for i in range(m):
+        if maxc[i] <= 0:
+            continue
+        ci = np.minimum(1.0, TMC[:, i] / maxc[i])
+        sum_ci = sum_ci + ci
+        if term_ci is not None:
+            term_ci[:, i] = ci
+        twa += ci > 0
+        w = float(maxc[i])
+        total_weight += w
+        weighted_sum = weighted_sum + ci * w
+        idf = idfs[i]
+        total_idf += idf
+        idf_weighted = idf_weighted + ci * idf
+        missing_idf = missing_idf + np.where(ci < 1.0, (1.0 - ci) * idf, 0.0)
+        if i == m - 1:
+            last_ci = ci
+            last_idf = idf
+        fully = TMC[:, i] >= (maxc[i] - 0.01)
+        tfm += fully
+        tsm += (HW[:, i] | HJ[:, i]) & fully
+        tpm += HP[:, i]
+        p = FP[:, i]
+        has = p >= 0
+        first_match = np.where(
+            has & ((first_match == -1) | (p < first_match)), p, first_match
+        )
+        min_pos = np.where(has, np.minimum(min_pos, p), min_pos)
+        max_pos = np.where(has, np.maximum(max_pos, p), max_pos)
+
+    weighted_coverage = weighted_sum / total_weight if total_weight > 0 else np.zeros(n)
+    idf_coverage = idf_weighted / total_idf if total_idf > 0 else np.zeros(n)
+    type_ahead = bool(
+        m > 0 and total_idf > 0 and (last_idf / total_idf) <= (1.0 / (m + 1))
+    )
+    if m == 1 and q_len > 0:
+        ci_lcs = np.minimum(1.0, lcs / q_len)
+        boost = (lcs > 0.0) & (ci_lcs > sum_ci)
+        sum_ci = np.where(boost, ci_lcs, sum_ci)
+
+    run = np.zeros(n, dtype=np.int64)
+    lpr = np.zeros(n, dtype=np.int64)
+    hits_im = []
+    for i in range(m):
+        hit = HP[:, i] & (maxc[i] > 0) & (TMC[:, i] > 0)
+        hits_im.append(hit)
+        run = np.where(hit, run + 1, 0)
+        lpr = np.maximum(lpr, run)
+    suffix = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    for i in range(m - 1, -1, -1):
+        hit = hits_im[i]
+        suffix += (alive & hit)
+        alive = alive & hit
+    span_mask = (max_pos >= 0) & np.isfinite(min_pos) & (max_pos >= min_pos) & (twa >= 2)
+    span_f = np.where(span_mask, max_pos - min_pos, 0.0)
+    span = span_f.astype(np.int64) + span_mask
+    if m >= 1:
+        ltp = HP[:, m - 1] & (TMC[:, m - 1] > 0)
+    else:
+        ltp = np.zeros(n, dtype=bool)
+    psc = np.zeros(n, dtype=np.int64)
+    if m >= 2:
+        for i in range(m - 1):
+            psc += (HW[:, i] | HJ[:, i]) & (TMC[:, i] >= (maxc[i] - 0.01))
+
+    out = []
+    ti = word_level_term_idf
+    for r in range(n):
+        f = CoverageFeatures(
+            coverage_score=int(cov[r]),
+            terms_count=m,
+            word_hits=int(word_hits[r]),
+            doc_token_count=int(dtc[r]),
+        )
+        f.terms_with_any_match = int(twa[r])
+        f.terms_fully_matched = int(tfm[r])
+        f.terms_strict_matched = int(tsm[r])
+        f.terms_prefix_matched = int(tpm[r])
+        f.first_match_index = int(first_match[r])
+        f.sum_ci = float(sum_ci[r])
+        f.longest_prefix_run = int(lpr[r])
+        f.suffix_prefix_run = int(suffix[r])
+        f.phrase_span = int(span[r])
+        f.preceding_strict_count = int(psc[r])
+        f.last_token_has_prefix = bool(ltp[r])
+        f.last_term_ci = float(last_ci[r])
+        f.weighted_coverage = float(weighted_coverage[r])
+        f.last_term_is_type_ahead = type_ahead
+        f.idf_coverage = float(idf_coverage[r])
+        f.total_idf = total_idf
+        f.missing_idf = float(missing_idf[r])
+        f.term_idf = ti
+        f.term_ci = term_ci[r].tolist() if term_ci is not None else None
+        out.append(f)
+    return out
+
+
 class BatchCoverage:
     """Batch feature computation for RerankExecutor: holds the shared
     interner + per-doc views; computes (CoverageFeatures incl. fusion)
@@ -952,15 +1111,21 @@ class BatchCoverage:
         cover_wq = self.setup.cover_whole_query
         batch_views = [self.views[i] for i, _, _ in items]
         P = _Probes(T, batch_views)
+        shims = []
         for k, (internal_id, text, lcs) in enumerate(items):
-            view = batch_views[k]
-            st = _cascade(
-                view, T, self.setup, idfs, djoin,
-                P.ex[k], P.fp[k], [f[k] for f in P.fu],
+            shims.append(
+                _cascade(
+                    batch_views[k], T, self.setup, idfs, djoin,
+                    P.ex[k], P.fp[k], [f[k] for f in P.fu],
+                )
             )
-            feats = calculate_final_score(st, q_len, lcs, cover_wq, word_level)
+        feats_list = _batch_final_scores(
+            shims, q_len, [lcs for _, _, lcs in items], cover_wq, word_level
+        )
+        for k, (internal_id, text, lcs) in enumerate(items):
+            feats = feats_list[k]
             feats.fusion = _fusion_signals(
-                view, T, text, P.fus[k],
+                batch_views[k], T, text, P.fus[k],
                 P.trail[k] if P.trail is not None else 0,
                 P.ss[k] if P.ss is not None else 0.0,
                 bool(P.segp[k]) if P.segp is not None else False,
