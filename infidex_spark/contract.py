@@ -48,14 +48,14 @@ def _words(docs: DataFrame):
 
 def _contract_index(spark, sf_dir: str) -> str:
     """Build (or reuse) the per-sf_dir contract index. Rebuilds when the
-    cached dir predates the current on-disk feature set (sq_words1 is
-    the newest always-built table; pattern_scores is size-gated)."""
+    cached dir predates the current on-disk feature set (sq_fuzzy is
+    the newest table gated by short_precompute)."""
     from infidex_spark.build.indexer import build_index
 
     tag = sf_dir.strip("/").replace("/", "_")
     idx_dir = os.path.join(WORK_DIR, f"index_{tag}")
     fresh = os.path.exists(os.path.join(idx_dir, "MANIFEST.json")) and os.path.isdir(
-        os.path.join(idx_dir, "sq_topk")
+        os.path.join(idx_dir, "sq_fuzzy")
     )
     if not fresh:
         docs = _docs(spark, sf_dir).selectExpr("doc_id", "doc_id as doc_key", "text")

@@ -407,6 +407,7 @@ class IndexReader:
         self._doc_store: tuple | None = None  # lazy mmap'd text store
         self._ps_store: tuple | None = None  # lazy mmap'd pattern store
         self._sq_topk_map: dict | None = None  # lazy champion lists
+        self._sq_complete: set[str] = set()  # champion rows = full answer
         ct = os.path.join(index_dir, "char_terms")
         self._char_terms_ds = ds.dataset(ct) if os.path.isdir(ct) else None
         self._char_terms_cache: dict[str, tuple | None] = {}
@@ -824,28 +825,52 @@ class IndexReader:
 
     def sq_topk(self, q: str) -> list[tuple[int, float]] | None:
         """Precomputed full short-query answer (build-time champion
-        lists, _build_sq_topk) — the reference's ShortQueryResolver
-        champion-list analogue (ShortQueryResolver.cs:18-31). None when
-        the table is absent or the query was not precomputed
-        (sparse/fuzzy queries stay live)."""
+        lists, _build_sq_topk for hot queries + _build_sq_fuzzy for the
+        fuzzy/sparse class) — the reference's ShortQueryResolver
+        champion-list analogue (ShortQueryResolver.cs:18-31,118-219).
+        None when the tables are absent or the query was not
+        precomputed. Queries whose stored row is the COMPLETE result
+        set (fewer total matches than the stored depth) are recorded in
+        _sq_complete — sq_topk_complete() lets callers serve them at
+        any k."""
         if self._sq_topk_map is None:
-            path = os.path.join(self.index_dir, "sq_topk")
             m: dict[str, list] = {}
-            if os.path.isdir(path):
-                try:
-                    import pyarrow.parquet as pq
+            comp: set[str] = set()
+            import pyarrow.parquet as pq
 
-                    tbl = pq.read_table(path, columns=["q", "doc_keys", "finals"])
+            for sub, has_complete in (("sq_topk", False), ("sq_fuzzy", True)):
+                path = os.path.join(self.index_dir, sub)
+                if not os.path.isdir(path):
+                    continue
+                try:
+                    cols = ["q", "doc_keys", "finals"]
+                    if has_complete:
+                        cols.append("complete")
+                    tbl = pq.read_table(path, columns=cols)
                     keys_np = _list_rows_to_numpy(tbl, "q", "doc_keys")
                     fin_np = _list_rows_to_numpy(tbl, "q", "finals")
-                    m = {
-                        qq: list(zip(k.tolist(), fin_np[qq].tolist()))
-                        for qq, k in keys_np.items()
-                    }
+                    comp_map = (
+                        dict(zip(tbl["q"].to_pylist(), tbl["complete"].to_pylist()))
+                        if has_complete
+                        else {}
+                    )
+                    for qq, k in keys_np.items():
+                        if qq in m:  # exact champions win on overlap
+                            continue
+                        m[qq] = list(zip(k.tolist(), fin_np[qq].tolist()))
+                        if comp_map.get(qq):
+                            comp.add(qq)
                 except Exception:
-                    m = {}
+                    pass
             self._sq_topk_map = m
+            self._sq_complete = comp
         return self._sq_topk_map.get(q)
+
+    def sq_topk_complete(self, q: str) -> bool:
+        """True when the stored champion row for q is the full result
+        set (servable at any k, not just k <= stored depth)."""
+        self.sq_topk(q)  # ensure the lazy load ran
+        return q in self._sq_complete
 
     def char_terms(self, ch: str) -> tuple[np.ndarray, np.ndarray] | None:
         """(sorted terms containing ch, word-boundary flags) from the
@@ -1395,7 +1420,12 @@ class QueryExecutor:
                         self.r, "tombstones", frozenset()
                     ):
                         row = get_topk(q)
-                        if row is not None and k <= len(row):
+                        if row is not None and (
+                            k <= len(row)
+                            or getattr(
+                                self.r, "sq_topk_complete", lambda _q: False
+                            )(q)
+                        ):
                             got = [(int(d), float(s)) for d, s in row[:k]]
                     if got is None:
                         got = self._search_short_query(q, k)

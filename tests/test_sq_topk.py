@@ -126,6 +126,56 @@ def test_char_terms_equals_scan(sq_index):
         assert got == want, (q, got[:5], want[:5])
 
 
+def test_fuzzy_class_precomputed(sq_index):
+    """Round 5: 2-char queries in the fuzzy/sparse class (below the
+    sq_topk match threshold — 'xq', 'qz', 'zz' on webtext) are served
+    from the sq_fuzzy table (built by distributed evaluation of the
+    live path), bit-identical to the live answer at every k."""
+    r = IndexReader(sq_index)
+    assert os.path.isdir(os.path.join(sq_index, "sq_fuzzy"))
+    fuzzy_served = [
+        q for q in ("xq", "qz", "zz", "zq") if r.sq_topk(q) is not None
+    ]
+    assert fuzzy_served, "no fuzzy-class champion rows built"
+    ex = QueryExecutor(IndexReader(sq_index))
+    live_reader = IndexReader(sq_index)
+    live_reader._sq_topk_map = {}
+    ex_live = QueryExecutor(live_reader)
+    for q in fuzzy_served:
+        for k in (1, 5, 10, 50):
+            assert ex.search(q, k) == ex_live.search(q, k), (q, k)
+
+
+def test_complete_rows_serve_any_k(spark, tmp_path_factory):
+    """A sq_fuzzy row flagged complete (full result set smaller than
+    the stored depth) answers k beyond its stored length — and still
+    equals the live path there. An 80-doc corpus guarantees every
+    fuzzy answer has < 100 hits, so every stored row is complete."""
+    from infidex_spark.webtext import generate_webtext, with_doc_ids
+
+    out = str(tmp_path_factory.mktemp("sqcomp") / "idx")
+    wt = generate_webtext(spark, 80, seed=3)
+    docs = with_doc_ids(wt).selectExpr("doc_id", "doc_id as doc_key", "text")
+    from infidex_spark.build.indexer import build_index
+
+    build_index(spark, docs, out, n_buckets=8, short_precompute=True)
+    r = IndexReader(out)
+    r.sq_topk("xq")  # trigger the lazy load
+    complete = sorted(r._sq_complete)
+    assert complete, "no complete fuzzy rows on an 80-doc corpus"
+    # pick a query with a non-empty answer if one exists
+    q = next((c for c in complete if r.sq_topk(c)), complete[0])
+    row = r.sq_topk(q)
+    k = len(row) + 37
+    ex = QueryExecutor(IndexReader(out))
+    live_reader = IndexReader(out)
+    live_reader._sq_topk_map = {}
+    ex_live = QueryExecutor(live_reader)
+    assert ex.search(q, k) == ex_live.search(q, k) == [
+        (int(d), float(s)) for d, s in row
+    ]
+
+
 def test_tombstones_disable_table(sq_index):
     r = IndexReader(sq_index)
     served = [q for q in QUERIES if len(q) == 2 and r.sq_topk(q) is not None]
