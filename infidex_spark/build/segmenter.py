@@ -16,12 +16,14 @@ arithmetic — boundaries are an indexing choice, not a parity surface.
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import TYPE_CHECKING, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
-from pyspark.sql import types as T
+if TYPE_CHECKING:  # pyspark is imported lazily inside segment_docs so
+    # the query-time consolidate() (used by every executor search) does
+    # not drag the whole pyspark package into a reader-only process
+    from pyspark.sql import DataFrame
 
 from infidex_spark.kernel.tokenize import word_tokens
 
@@ -70,13 +72,7 @@ def segment_text(
     return segments
 
 
-SEGMENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_key", T.LongType(), False),
-        T.StructField("seg_no", T.IntegerType(), False),
-        T.StructField("text", T.StringType(), False),
-    ]
-)
+SEGMENTS_SCHEMA = "doc_key long, seg_no int, text string"
 
 
 def segment_docs(

@@ -129,7 +129,7 @@ class DocView:
 
     __slots__ = (
         "codes", "starts", "uniq", "mt_codes", "mt_pos_l", "mt_l",
-        "d_order_l", "mt_do", "jl_l", "raw_long_count", "cindex", "_uset",
+        "d_order_l", "mt_do", "jl_l", "raw_long_count", "_uset",
     )
 
     def __init__(self) -> None:
@@ -225,8 +225,16 @@ def build_views(
         v.d_order_l = do.tolist()
         v.mt_do = mc[do] if len(mc) else mc
         v.raw_long_count = int(raw_long[k])
-        v.cindex = {c: j for j, c in enumerate(v.mt_l)}
     return views
+
+
+def _find_code(mt_l: list, wid: int) -> int:
+    """Index of wid in the (duplicate-free) matcher-token code list, -1
+    when absent — the per-view dict this replaces cost more to build
+    (O(nd) inserts per view) than a couple of C-level list scans."""
+    if wid >= 0 and wid in mt_l:
+        return mt_l.index(wid)
+    return -1
 
 
 def _seg_any(mat: np.ndarray, ptr: np.ndarray, n: int) -> np.ndarray:
@@ -269,7 +277,7 @@ class _Probes:
     codes; the cascade walks a candidate's tokens only when its probe
     row says there is something to find."""
 
-    __slots__ = ("ex", "fp", "fu", "fus", "trail", "ss", "segp", "segs")
+    __slots__ = ("ex", "fp", "fu", "fus", "trail", "ss", "segp", "segs", "jd")
 
     def __init__(self, T: QueryTables, views: list[DocView]):
         n = len(views)
@@ -290,6 +298,14 @@ class _Probes:
 
         self.ex = _seg_any(T.ex_m[:, mtcat], mt_ptr, n)
         self.fp = _seg_any(T.fp_m[:, mtcat], mt_ptr, n)
+        # doc-bigram join possible for candidate k iff for some query
+        # token both a proper prefix AND a proper suffix of it occur
+        # among the candidate's matcher tokens (conservative: alignment
+        # and activity are re-checked by the exact scan)
+        self.jd = (
+            _seg_any(T.jp_m[:, mtcat], mt_ptr, n)
+            & _seg_any(T.js_m[:, mtcat], mt_ptr, n)
+        ).any(axis=1)
         self.fu = [
             _seg_any(T.fu_d[t][:, mtcat] <= (t + 1), mt_ptr, n)
             for t in range(T.fu_global_max)
@@ -418,6 +434,10 @@ class QueryTables:
         self.ex_p = np.zeros((m, n), dtype=bool)
         self.fp_m = np.zeros((m, n), dtype=bool)
         self.fp_s = np.zeros((m, n), dtype=np.float64)
+        # joined doc-bigram prescreen: word is a PROPER prefix/suffix of
+        # query token i (a doc-pair join w1+w2 == q_i needs one of each)
+        self.jp_m = np.zeros((m, n), dtype=bool)
+        self.js_m = np.zeros((m, n), dtype=bool)
         # fuzzy distance per tier: 255 = gated out or > tier
         self.fu_d = [
             np.full((m, n), 255, dtype=np.uint8)
@@ -462,6 +482,8 @@ class QueryTables:
         self.ex_p = grow(self.ex_p)
         self.fp_m = grow(self.fp_m)
         self.fp_s = grow(self.fp_s)
+        self.jp_m = grow(self.jp_m)
+        self.js_m = grow(self.js_m)
         self.fu_d = [grow(a, 255) for a in self.fu_d]
         self.fstack = grow(self.fstack)
         self.eq_last = grow(self.eq_last)
@@ -493,6 +515,11 @@ class QueryTables:
                     if fm:
                         self.fp_m[i, c] = True
                         self.fp_s[i, c] = fsc
+                if 0 < wl < len(q):
+                    if q.startswith(w):
+                        self.jp_m[i, c] = True
+                    if q.endswith(w):
+                        self.js_m[i, c] = True
                 # fuzzy tiers (FuzzyWordMatcher gates, encoded per word)
                 q_len = len(q)
                 if q_len >= setup.min_word_size:
@@ -543,7 +570,7 @@ class QueryTables:
 
 def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
              term_idf: list[float], djoin_memo: dict,
-             ex_any, fp_any, fu_any) -> _StateShim:
+             ex_any, fp_any, fu_rows, krow: int, jd_any: bool) -> _StateShim:
     """Table-driven replay of the scalar matcher cascade (whole -> joined
     -> prefix/suffix -> fuzzy) for one candidate. Mutation order, match
     order, credit values and tie rules are identical to matchers.py.
@@ -571,11 +598,10 @@ def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
 
     # ---- E3 whole words (WholeWordMatcher.Match) ----
     if setup.cover_whole_words and nd:
-        cindex = view.cindex
         p_increment = 1 if m > 1 else 0
         for i in range(m):
             wid = T.q_wids[i]
-            j = cindex.get(wid, -1) if wid >= 0 else -1
+            j = _find_code(mt_l, wid)
             if j < 0 or not d_active[j]:
                 continue
             qlen = len(q_texts[i])
@@ -600,15 +626,13 @@ def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
 
     # ---- E4 joined words (JoinedWordMatcher.Match) ----
     if setup.cover_joined_words and nd:
-        cindex = view.cindex
         # query bigram == doc token (adjacent active pairs only: the
         # scalar scan's next-active is always i+1 given q_active[i+1])
         if n_q_active >= 2:
             for i in range(m - 1):
                 if not (q_active[i] and q_active[i + 1]):
                     continue
-                wid = T.qjoin_wids[i]
-                j = cindex.get(wid, -1) if wid >= 0 else -1
+                j = _find_code(mt_l, T.qjoin_wids[i])
                 if j < 0 or not d_active[j]:
                     continue
                 l1, l2 = len(q_texts[i]), len(q_texts[i + 1])
@@ -628,8 +652,10 @@ def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
                 q_active[i + 1] = False
                 n_q_active -= 2
                 d_active[j] = False
-        # doc bigram == query token
-        if n_q_active:
+        # doc bigram == query token (skipped when the vectorized
+        # prescreen proves no (prefix, suffix) token pair exists — the
+        # O(nd) scan below was the dominant per-candidate cost)
+        if n_q_active and jd_any:
             q_len_set = T.q_len_set
             jl = view.jl_l
             words = T.interner.words
@@ -742,7 +768,7 @@ def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
                 if not n_q_active:
                     break
                 du_all = T.fu_d[tier - 1]
-                tier_any = fu_any[tier - 1]
+                tier_any = fu_rows[tier - 1][krow]
                 for i in range(m):
                     if not q_active[i] or not tier_any[i]:
                         continue
@@ -1116,7 +1142,7 @@ class BatchCoverage:
             shims.append(
                 _cascade(
                     batch_views[k], T, self.setup, idfs, djoin,
-                    P.ex[k], P.fp[k], [f[k] for f in P.fu],
+                    P.ex[k], P.fp[k], P.fu, k, bool(P.jd[k]),
                 )
             )
         feats_list = _batch_final_scores(

@@ -533,12 +533,23 @@ class IndexReader:
             return 0, None
         if self._prefix_counts is not None and prefix not in self._prefix_counts:
             return 0, None
+        cache = getattr(self, "_prefix_fetch_cache", None)
+        if cache is None:
+            cache = self._prefix_fetch_cache = {}
+        got = cache.get(prefix)
+        if got is not None:
+            return got
         tbl = self._prefixes.to_table(filter=ds.field("prefix") == prefix)
         if tbl.num_rows == 0:
-            return 0, None
-        n = tbl["n_docs"][0].as_py()
-        ids = tbl["doc_ids"][0].as_py()
-        return n, (np.asarray(ids, dtype=np.int64) if ids is not None else None)
+            out = (0, None)
+        else:
+            n = tbl["n_docs"][0].as_py()
+            ids = tbl["doc_ids"][0].as_py()
+            out = (n, np.asarray(ids, dtype=np.int64) if ids is not None else None)
+        if len(cache) >= 4096:
+            cache.clear()
+        cache[prefix] = out
+        return out
 
     def fetch_variant_terms(self, token: str) -> list[str]:
         """All dictionary terms within plain Levenshtein distance 1 of

@@ -459,15 +459,51 @@ class RerankExecutor:
             max_word_hits = max(max_word_hits, feats.word_hits)
             entries.append((score, tie, key))
 
-        for i in wm_overlap:
-            process(i, key_of[i], 0.0)
-        for i in wm_unique:
-            process(i, key_of[i], 0.0)
-        for key, score in s1:
-            internal = key_to_id.get(key)
-            if internal is None:
-                continue
-            process(internal, key, score / max_tfidf if max_tfidf > 0 else 0.0)
+        if self.batch is not None:
+            # vectorized fusion over the whole candidate list (identical
+            # per-element arithmetic; bit-parity-tested vs the scalar)
+            from infidex_spark.kernel.coverage.fusion_scorer import (
+                fusion_calculate_batch,
+            )
+
+            calls: list[tuple[int, int, float]] = [
+                (i, key_of[i], 0.0) for i in wm_overlap
+            ]
+            calls += [(i, key_of[i], 0.0) for i in wm_unique]
+            for key, score in s1:
+                internal = key_to_id.get(key)
+                if internal is not None:
+                    calls.append(
+                        (internal, key, score / max_tfidf if max_tfidf > 0 else 0.0)
+                    )
+            if calls:
+                trips = [ctx_feats[i] for i, _, _ in calls]
+                scored = fusion_calculate_batch(
+                    len(q),
+                    [len(t[2]) for t in trips],
+                    [t[0] for t in trips],
+                    [b for _, _, b in calls],
+                )
+                for (i, key, _b), (feats, lcs, _text), (score, tie) in zip(
+                    calls, trips, scored
+                ):
+                    if key not in lcs_by_key:
+                        lcs_by_key[key] = lcs
+                    if key not in hits_by_key:
+                        hits_by_key[key] = min(feats.word_hits, 255)
+                    if feats.word_hits > max_word_hits:
+                        max_word_hits = feats.word_hits
+                    entries.append((score, tie, key))
+        else:
+            for i in wm_overlap:
+                process(i, key_of[i], 0.0)
+            for i in wm_unique:
+                process(i, key_of[i], 0.0)
+            for key, score in s1:
+                internal = key_to_id.get(key)
+                if internal is None:
+                    continue
+                process(internal, key, score / max_tfidf if max_tfidf > 0 else 0.0)
 
         if max_word_hits == 0 and not wm_docs:
             return [(d, s, 0) for d, s in s1[:k]]

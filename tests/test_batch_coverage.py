@@ -170,3 +170,67 @@ def test_rerank_batch_equals_scalar_end_to_end(spark, tmp_path):
             assert got == want, (name, query, got, want)
             # repeat (warm ctx_feats replay) must also agree
             assert rb.search(query, 10) == want, (name, query)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_fusion_batch_equals_scalar(seed):
+    """fusion_calculate_batch == fusion_calculate bit for bit over
+    randomized synthetic feature vectors covering every branch:
+    single/multi-term, dominance, strong anchor, stem evidence, partial
+    coverage blends, trailing density, zero denominators."""
+    from infidex_spark.kernel.coverage.fusion import FusionSignals
+    from infidex_spark.kernel.coverage.fusion_scorer import (
+        fusion_calculate_batch,
+    )
+    from infidex_spark.kernel.coverage.scorer import CoverageFeatures
+
+    rng = random.Random(seed)
+    feats_list = []
+    texts = []
+    bases = []
+    query = "abcde fghij"
+    for _ in range(400):
+        tc = rng.randint(0, 5)
+        f = CoverageFeatures(terms_count=tc)
+        f.terms_with_any_match = rng.randint(0, tc) if tc else 0
+        f.terms_prefix_matched = rng.randint(0, tc) if tc else 0
+        f.terms_strict_matched = rng.randint(0, tc) if tc else 0
+        f.first_match_index = rng.choice([-1, 0, 1, 5])
+        f.preceding_strict_count = rng.randint(0, max(0, tc - 1))
+        f.last_token_has_prefix = rng.random() < 0.5
+        f.doc_token_count = rng.choice([0, 1, 3, 10])
+        f.word_hits = rng.randint(0, 12)
+        f.longest_prefix_run = rng.randint(0, 4)
+        f.suffix_prefix_run = rng.randint(0, 4)
+        f.sum_ci = rng.random() * tc if tc else 0.0
+        f.idf_coverage = rng.random()
+        f.total_idf = rng.choice([0.0, rng.random() * 8.0])
+        f.missing_idf = rng.random() * 3.0
+        f.last_term_is_type_ahead = rng.random() < 0.3
+        if tc and rng.random() < 0.7:
+            f.term_idf = [rng.random() * 4.0 for _ in range(tc)]
+            f.term_ci = [rng.random() for _ in range(tc)]
+        elif tc and rng.random() < 0.5:
+            f.term_idf = [rng.random() * 4.0 for _ in range(tc)]
+            f.term_ci = None
+        fs = FusionSignals(
+            unfiltered_query_token_count=rng.choice([0, 1, 2, tc, tc + 1]),
+            lexical_prefix_last=rng.random() < 0.5,
+            is_perfect_doc_lexical=rng.random() < 0.3,
+            has_stem_evidence=rng.random() < 0.3,
+            has_anchor_stem=rng.random() < 0.3,
+            trailing_match_density=rng.choice([0, 1, 100, 255]),
+            single_term_lexical_sim=rng.choice([0, 50, 255]),
+            single_char_last_token_boost=rng.choice([0, 8, 20]),
+        )
+        f.fusion = fs
+        feats_list.append(f)
+        texts.append("x" * rng.choice([0, 1, 7, 40]))
+        bases.append(rng.choice([0.0, 0.2, 0.5, 1.0]))
+
+    got = fusion_calculate_batch(
+        len(query), [len(t) for t in texts], feats_list, bases
+    )
+    for f, t, b, g in zip(feats_list, texts, bases, got):
+        w = fusion_calculate(query, t, f, b, 3)
+        assert g == w, (f, t, b, g, w)
