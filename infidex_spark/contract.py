@@ -639,7 +639,9 @@ def q_sq_topk_champions(spark, sf_dir):
     live_reader._sq_topk_map = {}  # champion-miss -> live path
     ex_live = QueryExecutor(live_reader)
     rows = []
-    for q in ["th", "fo", "an", "ba", "qz", "a b", "t o"]:
+    # 'xq'/'zq' exercise the round-5 sq_fuzzy table (fuzzy-class
+    # champions built by distributed evaluation of the live path)
+    for q in ["th", "fo", "an", "ba", "qz", "a b", "t o", "xq", "zq"]:
         got = ex.search(q, 10)
         want = ex_live.search(q, 10)
         if got != want:

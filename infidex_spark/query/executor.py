@@ -1481,9 +1481,10 @@ class QueryExecutor:
             dtype=np.float32,
         )
 
-        cand = self._select_candidates(active, idfs, k, q)
+        cand, carried_tf = self._select_candidates(active, idfs, k, q)
         if cand.size == 0:
             cand = np.unique(np.concatenate([t.doc_ids for t in active]))
+            carried_tf = None
         if cand.size == 0:
             return []
 
@@ -1496,19 +1497,40 @@ class QueryExecutor:
         if tomb:
             live = ~np.isin(keys, np.fromiter(tomb, dtype=np.int64, count=len(tomb)))
             cand, dl, keys = cand[live], dl[live], keys[live]
+            if carried_tf is not None:
+                carried_tf = [a[live] for a in carried_tf]
             if cand.size == 0:
                 return []
 
         from infidex_spark.build.segmenter import consolidate
 
         if use_wand:
-            from infidex_spark.query.wand import wand_topk
-
-            # over-fetch so segment consolidation (best segment per
-            # doc_key) can still fill k distinct keys; no-op when keys
-            # are unique
             m = max(4 * k, 64)
-            pos, sc = wand_topk(cand, active, idfs, max_scores, dl, avgdl, m)
+            if carried_tf is not None:
+                # full-AND candidates: every term hits every candidate
+                # and the tfs rode out of the intersection — score
+                # directly (same float32 accumulation order as WAND's
+                # descending-max-score term walk, same (score desc,
+                # candidate asc) top-m rule; WAND's pruning is lossless,
+                # so results are identical)
+                t_order = np.argsort(-max_scores, kind="stable")
+                scores = np.zeros(cand.size, dtype=np.float32)
+                for ti in t_order:
+                    scores += term_score(carried_tf[ti], dl, avgdl, idfs[ti])
+                if scores.size > m:
+                    thr = np.partition(scores, scores.size - m)[scores.size - m]
+                    pre = np.flatnonzero(scores >= thr)
+                else:
+                    pre = np.arange(scores.size)
+                sub = np.lexsort((cand[pre], -scores[pre]))[:m]
+                pos, sc = pre[sub], scores[pre][sub]
+            else:
+                from infidex_spark.query.wand import wand_topk
+
+                # over-fetch so segment consolidation (best segment per
+                # doc_key) can still fill k distinct keys; no-op when
+                # keys are unique
+                pos, sc = wand_topk(cand, active, idfs, max_scores, dl, avgdl, m)
             kk = keys[pos]
             order = np.lexsort((kk, -sc))
             hits = [(int(kk[i]), float(sc[i])) for i in order]
@@ -1905,25 +1927,38 @@ class QueryExecutor:
 
     def _select_candidates(
         self, active: list[TermPostings], idfs: np.ndarray, topk: int, q: str
-    ) -> np.ndarray:
-        """TieredCandidateSelector semantics over fetched postings."""
+    ) -> tuple[np.ndarray, list[np.ndarray] | None]:
+        """TieredCandidateSelector semantics over fetched postings.
+
+        Returns (candidates, carried_tf): when the candidates are the
+        tier-0 FULL AND of every active term, carried_tf[i] is term i's
+        tf aligned to the candidates — captured during the intersection
+        probes, so the scorer needs no further postings lookups (a hot
+        all-stop-level conjunction like 'the of and' at 1M docs paid a
+        second full probe pass inside WAND for postings the intersection
+        had just walked). None on every other tier."""
         # prefix precedence
         pc_docs = self._prefix_candidates(q, topk)
         if pc_docs is not None and pc_docs.size >= min(topk * 2, 100):
-            return pc_docs
+            return pc_docs, None
 
         max_idf = np.float32(idfs.max())
         if (np.array([t.df for t in active]) < 10).any() or len(active) == 1:
-            return self._disjunctive(active, idfs, topk, max_idf)
+            return self._disjunctive(active, idfs, topk, max_idf), None
 
         order = sorted(range(len(active)), key=lambda i: (-idfs[i], i))
         terms_ord = [active[i] for i in order]
         out = np.zeros(0, dtype=np.int64)
 
         if len(terms_ord) >= 2:  # tier 0: AND of all
-            out = _intersect_terms(terms_ord)
+            out, tf_ord = _intersect_terms_tf(terms_ord)
             if out.size >= topk * 2:
-                return out
+                if tf_ord is not None:
+                    carried: list[np.ndarray | None] = [None] * len(active)
+                    for pos, i in enumerate(order):
+                        carried[i] = tf_ord[pos]
+                    return out, carried
+                return out, None
         if len(terms_ord) >= 3 and out.size < topk * 3:  # tier 1: drop lowest idf
             out = np.union1d(out, _intersect_terms(terms_ord[:-1]))
         if out.size < topk * 5:  # tier 2: <=2 selective terms
@@ -1936,7 +1971,7 @@ class QueryExecutor:
                 picked += 1
                 if out.size >= topk * 10 or picked == min(2, len(active)):
                     break
-        return out
+        return out, None
 
     def _prefix_candidates(self, q: str, topk: int) -> np.ndarray | None:
         for plen in range(min(len(q), 3), 0, -1):
@@ -1978,11 +2013,36 @@ def _intersect_terms(terms: list) -> np.ndarray:
     the smallest list only); larger terms are probed via lookup, which
     block-decodes just the driver's blocks — a hot term in an AND with a
     rare term never pays its full decode."""
-    ordered = sorted(terms, key=lambda t: t.n_docs)
-    out = ordered[0].doc_ids
-    for t in ordered[1:]:
-        if out.size == 0:
-            break
-        hit, _ = t.lookup(out)
-        out = out[hit]
+    out, _ = _intersect_terms_tf(terms)
     return out
+
+
+def _intersect_terms_tf(terms: list) -> tuple[np.ndarray, list[np.ndarray] | None]:
+    """_intersect_terms that also captures each term's tf aligned to the
+    final result (every term hits every surviving doc in a full AND).
+    Returned tf list is ordered like `terms` sorted by ascending n_docs
+    — callers get the mapping from the same sort. tf arrays ride along
+    the probes the intersection performs anyway; realignment after a
+    shrink is a boolean-mask slice, not a re-search."""
+    order = sorted(range(len(terms)), key=lambda i: terms[i].n_docs)
+    t0 = terms[order[0]]
+    out = t0.doc_ids
+    tf_by_pos: dict[int, np.ndarray] = {0: t0.tfs}
+    for step, oi in enumerate(order[1:], start=1):
+        t = terms[oi]
+        if out.size == 0:
+            return out, None
+        hit, tf = t.lookup(out)
+        out = out[hit]
+        if not hit.all():
+            for p in tf_by_pos:
+                tf_by_pos[p] = tf_by_pos[p][hit]
+        tf_by_pos[step] = tf
+    if out.size == 0:
+        return out, None
+    # re-order from ascending-n_docs positions back to `terms` order
+    # sorted by the CALLER's key: emit aligned to the input list order
+    tf_list: list[np.ndarray] = [np.zeros(0, dtype=np.float32)] * len(terms)
+    for step, oi in enumerate(order):
+        tf_list[oi] = tf_by_pos[step]
+    return out, tf_list
