@@ -125,21 +125,53 @@ class WordInterner:
 
 class DocView:
     """Query-independent per-doc token view (columnar analogue of
-    engine.doc_view). Arrays are slices of the batch-level build."""
+    engine.doc_view). Arrays are slices of the batch-level build; the
+    Python-list forms the cascade walks are materialized lazily — the
+    probe gates skip most stages for most candidates, so most views
+    never need them."""
 
     __slots__ = (
-        "codes", "starts", "uniq", "mt_codes", "mt_pos_l", "mt_l",
-        "d_order_l", "mt_do", "jl_l", "raw_long_count", "_uset",
+        "codes", "starts", "uniq", "mt_codes", "mt_pos", "mt_l",
+        "order_local", "raw_long_count", "_uset", "_jl_l", "_d_order_l",
+        "_mt_do",
     )
 
     def __init__(self) -> None:
         self._uset = None
+        self._jl_l = None
+        self._d_order_l = None
+        self._mt_do = None
 
     @property
     def uset(self):
         if self._uset is None:
             self._uset = set(self.uniq.tolist())
         return self._uset
+
+    def jl_l(self, lens: np.ndarray) -> list:
+        """Matcher-token lengths as a list (joined doc-bigram scan)."""
+        if self._jl_l is None:
+            self._jl_l = (
+                lens[self.mt_codes].tolist() if len(self.mt_codes) else []
+            )
+        return self._jl_l
+
+    @property
+    def d_order_l(self) -> list:
+        """Stable length-desc walk order (prefix/suffix passes)."""
+        if self._d_order_l is None:
+            self._d_order_l = self.order_local.tolist()
+        return self._d_order_l
+
+    @property
+    def mt_do(self) -> np.ndarray:
+        if self._mt_do is None:
+            self._mt_do = (
+                self.mt_codes[self.order_local]
+                if len(self.mt_codes)
+                else self.mt_codes
+            )
+        return self._mt_do
 
 
 def build_views(
@@ -219,11 +251,8 @@ def build_views(
         mc = mcodes_all[mlo:mhi]
         v.mt_codes = mc
         v.mt_l = mc.tolist()
-        v.mt_pos_l = mpos_all[mlo:mhi].tolist()
-        v.jl_l = lens[mc].tolist() if len(mc) else []
-        do = order_local[mlo:mhi]
-        v.d_order_l = do.tolist()
-        v.mt_do = mc[do] if len(mc) else mc
+        v.mt_pos = mpos_all[mlo:mhi]
+        v.order_local = order_local[mlo:mhi]
         v.raw_long_count = int(raw_long[k])
     return views
 
@@ -579,7 +608,7 @@ def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
     m = T.m
     mt_l = view.mt_l
     nd = len(mt_l)
-    pos_l = view.mt_pos_l
+    pos_l = view.mt_pos
     q_active = [True] * m
     d_active = [True] * nd
     tmc = [0.0] * m
@@ -657,7 +686,7 @@ def _cascade(view: DocView, T: QueryTables, setup: CoverageConfig,
         # O(nd) scan below was the dominant per-candidate cost)
         if n_q_active and jd_any:
             q_len_set = T.q_len_set
-            jl = view.jl_l
+            jl = view.jl_l(T.interner.lens)
             words = T.interner.words
             q_index = T.q_index
             for i in range(nd - 1):
