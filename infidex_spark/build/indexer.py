@@ -806,10 +806,24 @@ def build_index(
             part_df = (
                 # sortmerge default: map-side partial encode -> the
                 # Exchange ships term-granular compressed partials (~2
-                # B/posting, not ~40 B/row) -> reduce-side merge
+                # B/posting, not ~40 B/row) -> reduce-side merge.
+                # Partition key is (bucket, term-hash sub-split): hashing
+                # only the ~64 distinct bucket values into as many
+                # partitions leaves ~1/e of them empty and stacks 2-3
+                # buckets on others — straggler waves that a 4N-core run
+                # pays in full while an N-core run packs around them. The
+                # sub-split keeps every partial of a term in one
+                # partition (same bucket, same term hash) while cutting
+                # partition-size variance 4x; the encoder derives the
+                # bucket column from the term itself, so file layout is
+                # unchanged.
                 src.filter(bucket_expr.isin(todo))
                 .mapInPandas(_partial_encode_stream(), schema=PARTIAL_SCHEMA)
-                .repartition(max(len(todo), 1), bucket_expr)
+                .repartition(
+                    max(len(todo), 1) * 4,
+                    bucket_expr,
+                    F.pmod(F.xxhash64("term"), F.lit(4)),
+                )
                 # partials of one term need only contiguity; their
                 # relative order is irrelevant (merge re-sorts by doc id)
                 .sortWithinPartitions(F.xxhash64("term"), "term")
@@ -871,9 +885,14 @@ def build_index(
             .parquet(os.path.join(out_dir, "term_dict"))
         )
         if do_ps:
+            # write_store=False: the driver-side Arrow-IPC sidecar pack
+            # is submitted separately below so the sq_topk chain (which
+            # reads only the parquet) starts ~5 s earlier — driver-serial
+            # work on the critical path is a direct N->4N efficiency tax
             f_ps = pool.submit(
                 _timed, "pattern_scores", _build_pattern_scores,
                 spark, postings_path, out_dir, aux_secs=aux_secs,
+                write_store=False,
             )
             f_ct = pool.submit(
                 _timed, "char_terms", _build_char_terms,
@@ -896,6 +915,9 @@ def build_index(
         )
         if f_ps is not None:
             f_ps.result()
+        f_store = pool.submit(
+            _timed, "pattern_store_write", _write_pattern_store, out_dir
+        )
         f_sqt = pool.submit(
             _timed, "sq_topk", _build_sq_topk, spark, out_dir,
             os.path.join(out_dir, "postings"), sizes, start_pad,
@@ -914,6 +936,8 @@ def build_index(
         f_ct.result()
     if f_sqt is not None:
         f_sqt.result()
+    if do_ps:
+        f_store.result()
     pool.shutdown()
     if aux and slim_doc_meta:
         # last (sq_topk and the doc_store read the full columns): drop
@@ -1470,6 +1494,7 @@ def _build_pattern_scores(
     cap_terms: int = 4096,
     cap_docs: int = 5_000_000,
     aux_secs: dict | None = None,
+    write_store: bool = True,
 ) -> None:
     """Short-query pattern aggregates (D10 fast path, format 2): for
     every 2- and 3-char prefix `pattern` of the live dictionary, the
@@ -1555,7 +1580,11 @@ def _build_pattern_scores(
     joined = posts.select("term", "payload", "weights", "n_docs").join(pats, "term")
 
     n_buckets = 16
-    n_parts = 64  # shuffle partitions; a pattern's group lands whole
+    # shuffle partitions; a pattern's group lands whole. 128 (not 64):
+    # groups are indivisible and Zipf-skewed ('￿th', ' th' carry 4096
+    # hot terms each), so more, smaller partitions cut the straggler
+    # variance the 4N-core level cannot pack around
+    n_parts = 128
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from infidex_spark.build.codec import decode_postings
@@ -1626,10 +1655,11 @@ def _build_pattern_scores(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "pattern_scores"))
     )
-    _s = time.time()
-    _write_pattern_store(out_dir, cap_docs=cap_docs)
-    if aux_secs is not None:
-        aux_secs["pattern_store_write"] = round(time.time() - _s, 2)
+    if write_store:
+        _s = time.time()
+        _write_pattern_store(out_dir, cap_docs=cap_docs)
+        if aux_secs is not None:
+            aux_secs["pattern_store_write"] = round(time.time() - _s, 2)
 
 
 PATTERN_STORE_CAP = 600_000_000  # total (pattern, doc) pairs
@@ -1940,7 +1970,10 @@ def _sq_topk_fold(
     (
         ps_in.unionByName(base_in)
         .unionByName(member_in)
-        .repartition(64, "q")
+        # 128 partitions: per-q groups are indivisible and hot-prefix
+        # skewed; smaller partitions smooth the stragglers the 4N-core
+        # level cannot pack around
+        .repartition(128, "q")
         .sortWithinPartitions("q")
         .mapInPandas(fold, empty_schema)
         .write.mode("overwrite")
@@ -2211,6 +2244,26 @@ def _build_sq_topk(
 
 SQ_FUZZY_MAX_ALPHABET = 64  # beyond this the 2-char space is too big
 
+# per-WORKER-PROCESS executor cache for _build_sq_fuzzy's evaluation
+# tasks: Spark reuses python workers across tasks, and reader open +
+# sq_meta column load (~1-2 s at 1M docs) would otherwise repeat per
+# task — a fixed cost the 4N-core level pays in more copies
+_SQ_EVAL_CACHE: dict = {}
+
+
+def _sq_eval_executor(idx_dir: str, mkey: float):
+    from infidex_spark.query.executor import IndexReader, QueryExecutor
+
+    key = (idx_dir, mkey)
+    got = _SQ_EVAL_CACHE.get(key)
+    if got is None:
+        r = IndexReader(idx_dir)
+        r._sq_topk_map = {}  # evaluate the live path, never stored rows
+        got = QueryExecutor(r)
+        _SQ_EVAL_CACHE.clear()
+        _SQ_EVAL_CACHE[key] = got
+    return got
+
 
 def _build_sq_fuzzy(spark: SparkSession, out_dir: str, k: int = SQ_TOPK_K) -> None:
     """Champion lists for the fuzzy/sparse short-query class — every
@@ -2274,13 +2327,12 @@ def _build_sq_fuzzy(spark: SparkSession, out_dir: str, k: int = SQ_TOPK_K) -> No
 
     kk = k
     idx_dir = out_dir
+    # cache key: manifest mtime distinguishes rebuilds into the same dir
+    # (python workers are reused across tasks AND jobs)
+    mkey = os.path.getmtime(os.path.join(out_dir, "MANIFEST.json"))
 
     def eval_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from infidex_spark.query.executor import IndexReader, QueryExecutor
-
-        r = IndexReader(idx_dir)
-        r._sq_topk_map = {}  # evaluate the live path, never stored rows
-        ex = QueryExecutor(r)
+        ex = _sq_eval_executor(idx_dir, mkey)
         out_q: list[str] = []
         out_k: list[list[int]] = []
         out_f: list[list[float]] = []
