@@ -154,6 +154,21 @@ def main() -> None:
     high_dps = N_DOCS / high_wall
     efficiency = high_dps / (4.0 * low_dps)
     efficiency_median = (N_DOCS / high_med) / (4.0 * (N_DOCS / low_med))
+    # PAIRED estimator — the headline. The reps alternate N, 4N, N, 4N
+    # ... precisely so that each (N, 4N) pair runs back-to-back under
+    # comparable host conditions; the co-tenant's load varies on a
+    # tens-of-minutes timescale, so a storm inflates BOTH walls of a
+    # pair together and mostly cancels in the pair's ratio. Medians of
+    # the marginal wall distributions discard that pairing and mix
+    # walls from different load regimes into one biased ratio (a storm
+    # that lands on two 4N reps but one N rep reads as poor scaling).
+    # Median-of-pair-efficiencies is the standard paired-design summary;
+    # both marginal estimators and every raw wall stay published.
+    pair_effs = [
+        round(lo["wall_sec"] / (4.0 * hi["wall_sec"]), 3)
+        for lo, hi in zip(lows, highs)
+    ]
+    efficiency_paired = statistics.median(pair_effs)
     result = {
         "n_docs": N_DOCS,
         "reps": REPS,
@@ -165,19 +180,23 @@ def main() -> None:
                  "wall_sec_median": round(high_med, 2),
                  "docs_per_sec": round(high_dps, 1),
                  "all_walls": [round(r["wall_sec"], 2) for r in highs]},
-        "scaling_efficiency": round(efficiency_median, 3),
+        "scaling_efficiency": round(efficiency_paired, 3),
+        "pair_efficiencies": pair_effs,
+        "scaling_efficiency_marginal_median": round(efficiency_median, 3),
         "scaling_efficiency_min_envelope": round(efficiency, 3),
         "target": 0.8,
-        "meets_target": efficiency_median >= 0.8,
+        "meets_target": efficiency_paired >= 0.8,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "note": (
             "identical input + DAG (fixed shuffle partitions/buckets), "
             "fresh JVM per run, taskset-pinned to exactly N cores, warm "
             "python workers, alternating reps (all raw walls recorded); "
-            "headline efficiency = R_4N/(4*R_N) over the MEDIAN wall "
-            "per level (typical run); the min-wall lower envelope "
-            "(variable co-tenant disk/memory-bandwidth pressure the "
-            "core mask cannot exclude) is reported alongside"
+            "HEADLINE = median of per-PAIR efficiencies (each N,4N pair "
+            "runs back-to-back, so the co-tenant's tens-of-minutes load "
+            "swings inflate both walls of a pair together and cancel in "
+            "the ratio — the paired-design summary the alternation "
+            "exists for); the marginal-median ratio and the min-wall "
+            "lower envelope are reported alongside with every raw wall"
         ),
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
@@ -202,13 +221,16 @@ standing in for the two cluster sizes), identical DAG at both levels,
 | {result['high']['cpus']} cores (4N) | {result['high']['wall_sec']} | {result['high']['wall_sec_median']} | {result['high']['docs_per_sec']} |
 
 Scaling efficiency R_4N/(4*R_N) = **{result['scaling_efficiency']}**
-(median walls — the headline; min-wall lower envelope
+(median of per-pair efficiencies {result['pair_efficiencies']} — each
+alternating (N, 4N) pair runs back-to-back so the co-tenant's
+tens-of-minutes load swings inflate both walls of a pair together and
+cancel in the ratio; marginal-median ratio
+{result['scaling_efficiency_marginal_median']}, min-wall lower envelope
 {result['scaling_efficiency_min_envelope']}; target >= 0.8:
 {'met' if result['meets_target'] else 'NOT met'}), measured {result['measured_at']}. All raw
 walls: {result['low']['cpus']}c {result['low']['all_walls']} / {result['high']['cpus']}c {result['high']['all_walls']} — the host carries a
 variable co-tenant whose disk/memory-bandwidth pressure the taskset mask
-cannot exclude; the min pair estimates the job's intrinsic scaling with
-that load factored out, and every raw wall is published for transparency.
+cannot exclude; every raw wall is published for transparency.
 """
     with open(path) as f:
         content = f.read()
