@@ -205,3 +205,92 @@ def test_partial_merge_identical_to_row_encoder(spark, reference_docs, tmp_path)
     a, b = rows(out_a), rows(out_b)
     assert len(a) == len(b) > 0
     assert a == b
+
+
+class _FakeTerm:
+    """Minimal TermPostings stand-in for _intersect_terms_tf unit tests:
+    sorted unique doc_ids with per-doc tf, lookup() honoring the live
+    contract (hit aligned to probes, tf aligned to probes[hit])."""
+
+    def __init__(self, doc_ids, tfs):
+        self.doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        self.tfs = np.asarray(tfs, dtype=np.float32)
+        self.n_docs = self.doc_ids.size
+
+    def lookup(self, docs):
+        hit = np.isin(docs, self.doc_ids)
+        pos = np.searchsorted(self.doc_ids, docs[hit])
+        return hit, self.tfs[pos]
+
+
+def test_intersect_terms_tf_matches_brute_force():
+    """Carried-tf intersection (round 5): the returned tf arrays must be
+    each input term's tf aligned to the final AND result, in the INPUT
+    list order, for every intersection shape (subset chains, partial
+    overlap, varying rarity order)."""
+    from infidex_spark.query.executor import _intersect_terms_tf
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n_terms = int(rng.integers(2, 5))
+        universe = np.arange(200)
+        terms = []
+        for _ in range(n_terms):
+            size = int(rng.integers(1, 160))
+            ids = np.sort(rng.choice(universe, size=size, replace=False))
+            tfs = rng.integers(1, 250, size=size).astype(np.float32)
+            terms.append(_FakeTerm(ids, tfs))
+        out, tf_list = _intersect_terms_tf(terms)
+        expected = terms[0].doc_ids
+        for t in terms[1:]:
+            expected = np.intersect1d(expected, t.doc_ids)
+        assert out.tolist() == expected.tolist(), trial
+        if expected.size == 0:
+            assert tf_list is None
+            continue
+        assert tf_list is not None and len(tf_list) == n_terms
+        for ti, t in enumerate(terms):
+            pos = np.searchsorted(t.doc_ids, out)
+            assert tf_list[ti].tolist() == t.tfs[pos].tolist(), (trial, ti)
+
+
+def test_carried_tf_direct_score_equals_wand(spark, tmp_path):
+    """The tier-0 full-AND direct-scoring branch (round 5) must return
+    exactly what the WAND path returns. The 10-doc parity corpus never
+    reaches the branch's topk*2 candidate floor, so this builds a corpus
+    where three shared words co-occur in 60 docs (>= 20 candidates at
+    k=10) and asserts (a) the branch is actually taken — carried tf is
+    non-None and matches the postings — and (b) rank + scores match the
+    exhaustive scorer."""
+    n = 60
+    rows = [
+        (i, i, f"alpha beta gamma unique{i} filler{i % 7}") for i in range(n)
+    ] + [(n + j, n + j, f"alpha solo{j}") for j in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, doc_key long, text string")
+    out = str(tmp_path / "idx_ctf")
+    build_index(spark, docs, out, n_buckets=2, salts=2, aux=False)
+    ex = QueryExecutor(IndexReader(out))
+
+    q = "alpha beta gamma"
+    active, idfs = [], []
+    fetched = ex.r.fetch_terms(["alpha", "beta", "gamma"])
+    import math as _m
+
+    for t in ["alpha", "beta", "gamma"]:
+        tp = fetched[t]
+        active.append(tp)
+        idfs.append(_m.log(1.0 + (ex.r.total_docs - tp.df + 0.5) / (tp.df + 0.5)))
+    idfs = np.asarray(idfs, dtype=np.float32)
+    cand, carried = ex._select_candidates(active, idfs, 10, q)
+    assert carried is not None, "tier-0 carried-tf branch not taken"
+    assert cand.size == n
+    for ti, tp in enumerate(active):
+        pos = np.searchsorted(tp.doc_ids, cand)
+        assert carried[ti].tolist() == tp.tfs[pos].tolist()
+
+    wand = ex.search(q, 10, use_wand=True)
+    full = ex.search(q, 10, use_wand=False)
+    assert [d for d, _ in wand] == [d for d, _ in full], (wand, full)
+    np.testing.assert_allclose(
+        [s for _, s in wand], [s for _, s in full], rtol=1e-5
+    )
