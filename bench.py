@@ -123,6 +123,7 @@ def main() -> None:
     sq_reader.sq_meta()  # one-time column-cache load, reported separately
     t = time.time()
     sq_reader._open_ps_store()
+    sq_reader.sq_topk("\x00warm\x00")  # one-time champion-table load
     sq_open = round(time.time() - t, 5)
     sq_ex = QueryExecutor(sq_reader)
     # includes the classes that were the r3 worst cases: hot single-token
