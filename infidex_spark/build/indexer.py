@@ -490,9 +490,16 @@ def build_index(
     # per-job wall clocks for the concurrent aux jobs (they overlap the
     # coarse step marks above; this attributes scaling behavior per job)
     aux_secs: dict[str, float] = {}
+    # start offset of each aux job relative to build start: durations
+    # alone can't show which job sits on the critical path (the
+    # overlapped jobs' durations sum to far more than the wall) — the
+    # (start, start+dur) intervals give the build's actual Gantt
+    aux_starts: dict[str, float] = {}
+    _t_build0 = time.time()
 
     def _timed(name: str, fn, *a, **kw):
         s = time.time()
+        aux_starts.setdefault(name, round(s - _t_build0, 2))
         try:
             return fn(*a, **kw)
         finally:
@@ -994,6 +1001,7 @@ def build_index(
         "bucket_groups": bucket_metrics,
         "step_secs": step_secs,
         "aux_step_secs": aux_secs,
+        "aux_step_starts": aux_starts,
         "synonyms": synonym_map.to_json() if synonym_map is not None else [],
         "lineage": {
             "input_columns": docs.columns,
@@ -1021,6 +1029,7 @@ def build_index(
         manifest["build_wall_sec"] = wall
         manifest["docs_per_sec"] = (n_docs_total / wall) if wall > 0 else 0.0
         manifest["aux_step_secs"] = aux_secs
+        manifest["aux_step_starts"] = aux_starts
         with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
             json.dump(manifest, f, indent=2)
     return manifest
@@ -2302,12 +2311,11 @@ def _build_sq_fuzzy(spark: SparkSession, out_dir: str, k: int = SQ_TOPK_K) -> No
     sq_dir = os.path.join(out_dir, "sq_topk")
     bad = set(DELIMITERS) | {START_PAD}
     chars: list[str] = []
+    n_terms_by_char: dict[str, int] = {}
     if os.path.isdir(ct_dir):
-        chars = sorted(
-            c
-            for c in _pads.dataset(ct_dir).to_table(columns=["ch"])["ch"].to_pylist()
-            if c not in bad
-        )
+        ct = _pads.dataset(ct_dir).to_table(columns=["ch", "n_terms"])
+        n_terms_by_char = dict(zip(ct["ch"].to_pylist(), ct["n_terms"].to_pylist()))
+        chars = sorted(c for c in n_terms_by_char if c not in bad)
     covered: set[str] = set()
     if os.path.isdir(sq_dir):
         try:
@@ -2349,14 +2357,26 @@ def _build_sq_fuzzy(spark: SparkSession, out_dir: str, k: int = SQ_TOPK_K) -> No
                 {"q": out_q, "doc_keys": out_k, "finals": out_f, "complete": out_c}
             )
 
-    # 4x the core count: per-query cost varies a lot (common-char
-    # queries touch far more postings), so smaller round-robin tasks
-    # smooth the skew; each task pays one reader open (~1 s), small
-    # against the eval work it carries
-    n_parts = max(1, min(len(cands), spark.sparkContext.defaultParallelism * 4))
+    # The per-query cost distribution is extremely skewed: a
+    # rare-first-char query ('xa' at 1M docs: ~9 s) triggers the broad
+    # fuzzy fallback while the p90 is ~0.15 s, so a hash repartition
+    # can land the monster task late and extend the job by its full
+    # duration. LPT schedule instead: ONE query per partition, ordered
+    # most-expensive-first (cost rises as the first char's term count
+    # falls — fewer exact matches forces the fuzzy expansion — and as
+    # the second char's term count grows — more expansion terms to
+    # fetch), so the long tasks start at t=0 and the many short ones
+    # pack in behind them. Spark launches tasks in partition order.
+    # Per-task reader-open cost stays one per python worker via
+    # _SQ_EVAL_CACHE regardless of task count.
+    cands.sort(key=lambda q: (n_terms_by_char.get(q[0], 0), -n_terms_by_char.get(q[1], 0)))
     (
-        spark.createDataFrame([(q,) for q in cands], "q string")
-        .repartition(n_parts)
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(
+                [(q,) for q in cands], numSlices=len(cands)
+            ),
+            "q string",
+        )
         .mapInPandas(eval_part, empty_schema)
         .write.mode("overwrite")
         .parquet(out_path)
