@@ -306,7 +306,10 @@ class _Probes:
     codes; the cascade walks a candidate's tokens only when its probe
     row says there is something to find."""
 
-    __slots__ = ("ex", "fp", "fu", "fus", "trail", "ss", "segp", "segs", "jd")
+    __slots__ = (
+        "ex", "fp", "fu", "fus", "trail", "ss", "segp", "segs", "jd",
+        "mtcat", "mt_ptr",
+    )
 
     def __init__(self, T: QueryTables, views: list[DocView]):
         n = len(views)
@@ -317,6 +320,8 @@ class _Probes:
         )
         mt_ptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum([len(v.mt_codes) for v in views], out=mt_ptr[1:])
+        self.mtcat = mtcat
+        self.mt_ptr = mt_ptr
         uqcat = (
             np.concatenate([v.uniq for v in views])
             if n
@@ -363,6 +368,257 @@ class _Probes:
         else:
             self.ss = None
             self.segp = self.segs = None
+
+
+def _pos_of_wid(mtcat: np.ndarray, mt_ptr: np.ndarray, n: int, wid: int) -> np.ndarray:
+    """Per-candidate flat position of wid in the concatenated matcher
+    codes (-1 when absent). Matcher codes are duplicate-free per view, so
+    each candidate has at most one position."""
+    out = np.full(n, -1, dtype=np.int64)
+    if wid < 0:
+        return out
+    fp = np.flatnonzero(mtcat == wid)
+    if len(fp):
+        cand = np.searchsorted(mt_ptr, fp, side="right") - 1
+        out[cand] = fp
+    return out
+
+
+def _first_hit(hit: np.ndarray, ptr: np.ndarray, n: int) -> np.ndarray:
+    """Per-candidate FLAT position of the first True in hit within the
+    candidate's [ptr[k], ptr[k+1]) span, -1 when none. Empty spans use
+    the _seg_any reduceat pattern (consecutive non-empty starts span
+    exactly the intervening tokens)."""
+    L = len(hit)
+    out = np.full(n, -1, dtype=np.int64)
+    ne = ptr[:-1] < ptr[1:]
+    if L and ne.any():
+        pos = np.where(hit, np.arange(L, dtype=np.int64), L)
+        firsts = np.minimum.reduceat(pos, ptr[:-1][ne])
+        out[np.flatnonzero(ne)] = np.where(firsts < L, firsts, -1)
+    return out
+
+
+def _cascade_all(views: list, T: QueryTables, setup: CoverageConfig,
+                 term_idf: list[float], djoin_memo: dict, P: "_Probes"
+                 ) -> list["_StateShim"]:
+    """Candidate-vectorized replay of _cascade for a whole batch: each
+    phase walks the m query words in the scalar order (preserving the
+    cross-word consumption semantics exactly — consumed-flag updates
+    between word iterations replace the scalar d_active list) while every
+    per-word step runs as numpy ops over all candidates at once. The
+    rare candidates where the doc-bigram joined scan may fire (P.jd, a
+    conservative prescreen) are routed through the scalar _cascade
+    unchanged — that scan walks adjacent ACTIVE doc pairs, a sequential
+    dependence not worth vectorizing at its hit rate. Accumulation
+    order per candidate (phase order, word order within phase) matches
+    the scalar exactly, so float64 sums are bit-identical."""
+    n = len(views)
+    m = T.m
+    mtcat = P.mtcat
+    mt_ptr = P.mt_ptr
+    L = len(mtcat)
+    nd_arr = np.diff(mt_ptr)
+    pcat = (
+        np.concatenate([v.mt_pos for v in views])
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    # length-desc walk order of the concatenated codes (E5 passes)
+    goidx = (
+        np.concatenate(
+            [mt_ptr[k] + views[k].order_local for k in range(n)]
+        ).astype(np.int64)
+        if n
+        else np.zeros(0, dtype=np.int64)
+    )
+    q_texts = T.q_texts
+    qlens = np.array([len(t) for t in q_texts], dtype=np.int64)
+
+    consumed = np.zeros(L, dtype=bool)
+    Qact = np.ones((n, m), dtype=bool)
+    TMC = np.zeros((n, m), dtype=np.float64)
+    HW = np.zeros((n, m), dtype=bool)
+    HJ = np.zeros((n, m), dtype=bool)
+    HPm = np.zeros((n, m), dtype=bool)
+    FPOS = np.full((n, m), -1, dtype=np.int64)
+    word_hits = np.zeros(n, dtype=np.int64)
+    num_whole = np.zeros(n, dtype=np.float64)
+    num_joined = np.zeros(n, dtype=np.float64)
+    num_fuzzy = np.zeros(n, dtype=np.float64)
+    num_ps = np.zeros(n, dtype=np.float64)
+    penalty = np.zeros(n, dtype=np.int64)
+    nq = np.full(n, m, dtype=np.int64)
+
+    def fpos_min(i: int, ok: np.ndarray, p: np.ndarray) -> None:
+        cur = FPOS[ok, i]
+        FPOS[ok, i] = np.where((cur == -1) | (p < cur), p, cur)
+
+    # ---- E3 whole words ----
+    if setup.cover_whole_words and L:
+        for i in range(m):
+            wid = T.q_wids[i]
+            jflat = _pos_of_wid(mtcat, mt_ptr, n, wid)
+            ok = (jflat >= 0) & ~consumed[jflat.clip(0)]
+            if not ok.any():
+                continue
+            qlen = int(qlens[i])
+            word_hits[ok] += 1
+            num_whole[ok] += qlen
+            TMC[ok, i] += qlen
+            HW[ok, i] = True
+            HPm[ok, i] = True
+            fpos_min(i, ok, pcat[jflat[ok]])
+            # penalty: doc has no i-th matcher token, or it differs
+            code_at_i = mtcat[np.minimum(mt_ptr[:-1] + i, L - 1)]
+            pen = np.where(nd_arr > i, code_at_i != wid, True)
+            penalty[ok] += pen[ok]
+            if m > 1 and i < m - 1:
+                num_whole[ok] += 1
+            Qact[ok, i] = False
+            nq[ok] -= 1
+            consumed[jflat[ok]] = True
+
+    # ---- E4 joined words, query-bigram == doc token ----
+    if setup.cover_joined_words and m >= 2 and L:
+        entry4 = nq >= 2
+        for i in range(m - 1):
+            wid = T.qjoin_wids[i]
+            jflat = _pos_of_wid(mtcat, mt_ptr, n, wid)
+            ok = (
+                entry4
+                & Qact[:, i]
+                & Qact[:, i + 1]
+                & (jflat >= 0)
+                & ~consumed[jflat.clip(0)]
+            )
+            if not ok.any():
+                continue
+            l1 = int(qlens[i])
+            l2 = int(qlens[i + 1])
+            num_joined[ok] += l1 + l2
+            word_hits[ok] += 2
+            p = pcat[jflat[ok]]
+            TMC[ok, i] += l1
+            HJ[ok, i] = True
+            HPm[ok, i] = True
+            fpos_min(i, ok, p)
+            TMC[ok, i + 1] += l2
+            HJ[ok, i + 1] = True
+            fpos_min(i + 1, ok, p)
+            Qact[ok, i] = False
+            Qact[ok, i + 1] = False
+            nq[ok] -= 2
+            consumed[jflat[ok]] = True
+    # (doc-bigram == query token scan: P.jd candidates take the scalar
+    # path below; for everyone else the prescreen proves no pair exists)
+
+    # ---- E5 prefix/suffix ----
+    if setup.cover_prefix_suffix and L:
+        entry5 = nq > 0
+        ocat = mtcat[goidx]
+        # pass 1: exact affix
+        for i in T.q_order_full:
+            hit_o = T.ex_m[i][ocat] & ~consumed[goidx]
+            first_o = _first_hit(hit_o, mt_ptr, n)
+            ok = entry5 & Qact[:, i] & (first_o >= 0)
+            if not ok.any():
+                continue
+            flat = goidx[first_o[ok]]
+            c = mtcat[flat]
+            score = T.ex_s[i][c]
+            num_ps[ok] += score
+            word_hits[ok] += 1
+            TMC[ok, i] += score
+            HPm[ok, i] |= T.ex_p[i][c]
+            fpos_min(i, ok, pcat[flat])
+            Qact[ok, i] = False
+            nq[ok] -= 1
+            consumed[flat] = True
+        # pass 2: fuzzy prefix
+        entry5b = nq > 0
+        for i in T.q_order_full:
+            hit_o = T.fp_m[i][ocat] & ~consumed[goidx]
+            first_o = _first_hit(hit_o, mt_ptr, n)
+            ok = entry5b & Qact[:, i] & (first_o >= 0)
+            if not ok.any():
+                continue
+            flat = goidx[first_o[ok]]
+            c = mtcat[flat]
+            score = T.fp_s[i][c]
+            num_ps[ok] += score
+            word_hits[ok] += 1
+            TMC[ok, i] += score
+            fpos_min(i, ok, pcat[flat])
+            Qact[ok, i] = False
+            nq[ok] -= 1
+            consumed[flat] = True
+
+    # ---- E6 fuzzy words ----
+    if setup.cover_fuzzy_words and T.fu_global_max and L:
+        fully = ~((qlens[None, :] > 0) & (TMC < qlens[None, :])).any(axis=1)
+        act6 = (nq > 0) & ~fully
+        if act6.any():
+            max_active = np.where(Qact, qlens[None, :], 0).max(axis=1)
+            gm_lookup = np.array(
+                [0]
+                + [
+                    _token_max_edits(l, setup)[0]
+                    for l in range(1, int(qlens.max()) + 1)
+                ],
+                dtype=np.int64,
+            )
+            gm = gm_lookup[max_active]
+            for tier in range(1, int(gm.max(initial=0)) + 1):
+                du_all = T.fu_d[tier - 1]
+                for i in range(m):
+                    tick = act6 & (gm >= tier) & (nq > 0) & Qact[:, i]
+                    if not tick.any():
+                        continue
+                    vals_flat = du_all[i][mtcat]
+                    hit = (vals_flat <= tier) & ~consumed
+                    first = _first_hit(hit, mt_ptr, n)
+                    ok = tick & (first >= 0)
+                    if not ok.any():
+                        continue
+                    flat = first[ok]
+                    dist = vals_flat[flat].astype(np.int64)
+                    credit = int(qlens[i]) - dist
+                    word_hits[ok] += 1
+                    num_fuzzy[ok] += credit
+                    TMC[ok, i] += credit
+                    fpos_min(i, ok, pcat[flat])
+                    Qact[ok, i] = False
+                    nq[ok] -= 1
+                    consumed[flat] = True
+
+    term_max = [len(t) for t in q_texts]
+    shims: list[_StateShim] = []
+    for k in range(n):
+        st = _StateShim()
+        st.q_count = m
+        st.word_hits = int(word_hits[k])
+        st.doc_token_count = views[k].raw_long_count
+        st.num_whole = float(num_whole[k])
+        st.num_joined = float(num_joined[k])
+        st.num_fuzzy = float(num_fuzzy[k])
+        st.num_prefix_suffix = float(num_ps[k])
+        st.penalty = int(penalty[k])
+        st.term_matched_chars = TMC[k].tolist()
+        st.term_max_chars = term_max
+        st.term_has_whole = HW[k].tolist()
+        st.term_has_joined = HJ[k].tolist()
+        st.term_has_prefix = HPm[k].tolist()
+        st.term_first_pos = FPOS[k].tolist()
+        st.term_idf = term_idf
+        shims.append(st)
+    # doc-bigram-eligible candidates: exact scalar replay
+    for k in np.flatnonzero(P.jd):
+        shims[k] = _cascade(
+            views[k], T, setup, term_idf, djoin_memo,
+            P.ex[k], P.fp[k], P.fu, k, True,
+        )
+    return shims
 
 
 class _StateShim:
@@ -1166,14 +1422,7 @@ class BatchCoverage:
         cover_wq = self.setup.cover_whole_query
         batch_views = [self.views[i] for i, _, _ in items]
         P = _Probes(T, batch_views)
-        shims = []
-        for k, (internal_id, text, lcs) in enumerate(items):
-            shims.append(
-                _cascade(
-                    batch_views[k], T, self.setup, idfs, djoin,
-                    P.ex[k], P.fp[k], P.fu, k, bool(P.jd[k]),
-                )
-            )
+        shims = _cascade_all(batch_views, T, self.setup, idfs, djoin, P)
         feats_list = _batch_final_scores(
             shims, q_len, [lcs for _, _, lcs in items], cover_wq, word_level
         )

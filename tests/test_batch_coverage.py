@@ -234,3 +234,42 @@ def test_fusion_batch_equals_scalar(seed):
     for f, t, b, g in zip(feats_list, texts, bases, got):
         w = fusion_calculate(query, t, f, b, 3)
         assert g == w, (f, t, b, g, w)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_cascade_all_equals_scalar_cascade(seed):
+    """Direct shim-level equality: the candidate-vectorized _cascade_all
+    must reproduce the per-candidate _cascade field for field (before
+    any final-score rounding could mask a drift), including candidates
+    routed through the doc-bigram (jd) scalar path."""
+    from infidex_spark.kernel.coverage import batch as B
+
+    docs = _mk_docs(seed, 80)
+    # force doc-bigram-join material into the corpus
+    docs += ["red emption shank", "quick fox darkknight", "dark knight"]
+    setup = CoverageConfig()
+    term_df = lambda t: (hash(t) % 50) + 1  # noqa: E731
+    word_idf = {w: 1.0 + (hash(w) % 7) / 3.0 for w in WORDS}
+    eng = CoverageEngine(
+        setup=setup, sizes=(3,), term_df=term_df, total_docs=1000,
+        word_idf=word_idf,
+    )
+    bc = BatchCoverage(setup)
+    for query in ["redemption shank", "quick fox", "darkknight", "quik fxo",
+                  "the quick brown fox jumps", "red emption"]:
+        ctx = eng.prepare_query(query)
+        if not ctx["tokens"]:
+            continue
+        views = B.build_views(bc.interner, docs, setup.min_word_size)
+        T = B.QueryTables(ctx, setup, bc.interner)
+        idfs = ctx["idfs"]
+        P = B._Probes(T, views)
+        got = B._cascade_all(views, T, setup, idfs, {}, P)
+        for k, v in enumerate(views):
+            want = B._cascade(
+                v, T, setup, idfs, {}, P.ex[k], P.fp[k], P.fu, k,
+                bool(P.jd[k]),
+            )
+            for f in B._StateShim.__slots__:
+                g, w = getattr(got[k], f), getattr(want, f)
+                assert g == w, (query, docs[k], f, g, w)
