@@ -79,6 +79,23 @@ TOKENS_SCHEMA = T.StructType(
     ]
 )
 
+# parquet row-group size for POINT-READ tables (postings, prefixes,
+# wm_words, variants, ...): the reader's to_table(filter=key==x) calls
+# can only skip row groups, so the Spark-default 128 MB groups force a
+# whole-file decompress per point lookup (0.27-0.65 s stage-1 cold at
+# 1M docs). Rows are key-sorted within files, so small groups make the
+# parquet min/max stats selective and a lookup decodes ~128 KB.
+# page.size.row.check.min matters as much as block.size: parquet-mr
+# schedules its row-group size check from it (first check only after
+# 100 records by default), and the fat-row tables have <100 rows per
+# file. get_spark sets the same knobs session-wide; the per-write
+# options keep the layout correct under a caller-provided session.
+POINT_READ_BLOCK_BYTES = "131072"
+POINT_READ_WRITE_OPTS = {
+    "parquet.block.size": POINT_READ_BLOCK_BYTES,
+    "parquet.page.size.row.check.min": "2",
+}
+
 POSTINGS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -840,7 +857,7 @@ def build_index(
                 .sortWithinPartitions("term")
             )
         # non-resume runs cleared the dir up front, so append is always safe
-        part_df.write.mode("append").partitionBy("bucket").parquet(postings_path)
+        part_df.write.mode("append").options(**POINT_READ_WRITE_OPTS).partitionBy("bucket").parquet(postings_path)
         elapsed = time.time() - g0
 
         def _ck_job(todo=todo, elapsed=elapsed):
@@ -1171,6 +1188,7 @@ def _build_word_family(
             collect, "word string, doc_ids array<long>, n_docs long, bucket int"
         )
         .write.mode("overwrite")
+        .options(**POINT_READ_WRITE_OPTS)
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "wm_words"))
     )
@@ -1187,20 +1205,19 @@ def _build_word_family(
             collect, "word string, doc_ids array<long>, n_docs long, bucket int"
         )
         .write.mode("overwrite")
+        .options(**POINT_READ_WRITE_OPTS)
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "sq_words1"))
     )
     # words df (distinct-doc counts: pairs are already deduped per doc)
     word_df_tbl = pairs.groupBy("word").agg(F.count("*").alias("df"))
-    word_df_tbl.orderBy("word").write.mode("overwrite").parquet(
-        os.path.join(out_dir, "words")
-    )
+    word_df_tbl.orderBy("word").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "words"))
     pairs.unpersist()
     # twin structures derive from the written table (one aggregation)
     reread = spark.read.parquet(os.path.join(out_dir, "words"))
     reread.select(F.reverse(F.col("word")).alias("rword"), "df").orderBy(
         "rword"
-    ).write.mode("overwrite").parquet(os.path.join(out_dir, "words_rev"))
+    ).write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "words_rev"))
     _symmetric_delete_table(
         reread.filter(
             (F.length("word") >= 2) & (F.length("word") <= 8)
@@ -1361,7 +1378,7 @@ def _build_prefixes(
     def _meta_job():
         s = time.time()
         dm = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
-        dm.write.mode("overwrite").parquet(os.path.join(out_dir, "doc_meta"))
+        dm.sortWithinPartitions("doc_id").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "doc_meta"))
         dm = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
         s2 = time.time()
         _write_doc_store(out_dir)
@@ -1383,10 +1400,12 @@ def _build_prefixes(
         final = counts.join(lists, "prefix", "left").select(
             "prefix", "n_docs", "doc_ids"
         )
-        final.write.mode("overwrite").parquet(os.path.join(out_dir, "prefixes"))
+        final.sortWithinPartitions("prefix").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "prefixes"))
         (
             pairs.join(F.broadcast(small), "prefix", "left_semi")
+            .sortWithinPartitions("prefix")
             .write.mode("overwrite")
+            .options(**POINT_READ_WRITE_OPTS)
             .parquet(os.path.join(out_dir, "prefix_postings"))
         )
         if aux_secs is not None:
@@ -1429,7 +1448,7 @@ def _build_prefixes(
             .filter(F.col("rn") <= _CHAMPION_LIST_SIZE)
             .select("prefix", "doc_id", "doc_key", "sq_score", "rn")
         )
-        champions.write.mode("overwrite").parquet(os.path.join(out_dir, "champions"))
+        champions.sortWithinPartitions("prefix").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "champions"))
         f_lists.result()
     pairs.unpersist()
 
@@ -1493,7 +1512,7 @@ def _symmetric_delete_table(terms: DataFrame, out_path: str) -> None:
     )
     vdf = terms.mapInPandas(variants, schema=schema).distinct()
     out = vdf.groupBy("variant").agg(F.collect_list("term").alias("terms"))
-    out.write.mode("overwrite").parquet(out_path)
+    out.sortWithinPartitions("variant").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(out_path)
 
 
 def _build_pattern_scores(
@@ -2411,7 +2430,17 @@ def _slim_doc_meta(out_dir: str) -> bool:
                 continue
             tbl = pq.read_table(path, columns=keep)
             tmp = path + ".slim"
-            pq.write_table(tbl, tmp, compression="zstd")
+            # preserve point-read row-group granularity (doc_id lookups
+            # prune on row-group stats; one giant group would force a
+            # whole-file decode per lookup)
+            rg0 = (
+                pf.metadata.row_group(0).num_rows
+                if pf.metadata.num_row_groups
+                else 1024
+            )
+            pq.write_table(
+                tbl, tmp, compression="zstd", row_group_size=max(1024, rg0)
+            )
             os.replace(tmp, path)
             # drop the Hadoop client-side checksum sidecar (now stale)
             crc = os.path.join(dp, "." + f + ".crc")
