@@ -88,8 +88,9 @@ TOKENS_SCHEMA = T.StructType(
 # page.size.row.check.min matters as much as block.size: parquet-mr
 # schedules its row-group size check from it (first check only after
 # 100 records by default), and the fat-row tables have <100 rows per
-# file. get_spark sets the same knobs session-wide; the per-write
-# options keep the layout correct under a caller-provided session.
+# file. Applied per-write ONLY — full-scan tables (tokens cache,
+# doc_stats, pattern_scores, sq_topk) keep the default fat groups for
+# write/scan throughput.
 POINT_READ_BLOCK_BYTES = "131072"
 POINT_READ_WRITE_OPTS = {
     "parquet.block.size": POINT_READ_BLOCK_BYTES,
@@ -1480,8 +1481,10 @@ def _write_doc_store(out_dir: str) -> None:
     if n_rows > DOC_STORE_CAP:
         return
     tbl = pq.read_table(meta_path, columns=["doc_id", "text"])
-    # arrival order; the reader argsorts the doc_id column once at open
-    tbl = tbl.combine_chunks()
+    # sorted by doc_id so the reader's open is a plain mmap (it would
+    # otherwise pay an O(n log n) argsort per fresh executor — ~100 ms
+    # at 1M docs on the rerank cold path)
+    tbl = tbl.sort_by("doc_id").combine_chunks()
     with pa.OSFile(os.path.join(out_dir, "doc_store.arrow"), "wb") as sink:
         with pa.ipc.new_file(sink, tbl.schema) as writer:
             writer.write_table(tbl)
@@ -2496,7 +2499,9 @@ def _build_char_terms(spark: SparkSession, postings_path: str, out_dir: str) -> 
             "n_terms",
         )
     )
-    rows.write.mode("overwrite").parquet(os.path.join(out_dir, "char_terms"))
+    rows.write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(
+        os.path.join(out_dir, "char_terms")
+    )
 
 
 def _build_variants(spark: SparkSession, postings_path: str, out_dir: str) -> None:

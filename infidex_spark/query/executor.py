@@ -1006,10 +1006,9 @@ class IndexReader:
         return self._ps_store or None
 
     def _open_doc_store(self):
-        """Memory-map doc_store.arrow once; rows are in arrival order
-        (no build sort) — the doc_id column is argsorted here. Returns
-        (sorted doc_id ndarray, row permutation, text column) or None
-        when absent."""
+        """Memory-map doc_store.arrow once. Returns (sorted doc_id
+        ndarray, row permutation or None when rows are already
+        doc_id-sorted, text column) or None when absent."""
         if self._doc_store is None:
             path = os.path.join(self.index_dir, "doc_store.arrow")
             if not os.path.isfile(path):
@@ -1020,8 +1019,14 @@ class IndexReader:
                 reader = pa.ipc.open_file(pa.memory_map(path))
                 tbl = reader.read_all()  # zero-copy views over the mmap
                 ids = tbl["doc_id"].to_numpy()
-                order = np.argsort(ids, kind="stable")
-                self._doc_store = (ids[order], order, tbl["text"])
+                # builds since round 5 write the store doc_id-sorted;
+                # the O(n) check keeps open cost flat (legacy arrival-
+                # order stores pay the argsort once)
+                if ids.size < 2 or np.all(ids[:-1] <= ids[1:]):
+                    self._doc_store = (ids, None, tbl["text"])
+                else:
+                    order = np.argsort(ids, kind="stable")
+                    self._doc_store = (ids[order], order, tbl["text"])
         return self._doc_store or None
 
     def doc_texts(self, doc_ids: list[int]) -> dict[int, str]:
@@ -1039,7 +1044,8 @@ class IndexReader:
             pos_c = np.clip(pos, 0, max(ids_sorted.size - 1, 0))
             ok = ids_sorted.size > 0
             hit = (ids_sorted[pos_c] == want) if ok else np.zeros(want.size, bool)
-            got = texts.take(order[pos_c[hit]]).to_pylist()
+            rows = pos_c[hit] if order is None else order[pos_c[hit]]
+            got = texts.take(rows).to_pylist()
             return dict(zip(want[hit].tolist(), got))
         if self._doc_meta is None:
             return {}
@@ -1094,7 +1100,13 @@ class IndexReader:
         if self._dl_cache is not None:
             ids, dkeys, _ = self._dl_cache
             if self._key_order is None:
-                self._key_order = np.argsort(dkeys, kind="stable")
+                # doc_stats is doc_id-ordered and keys ascend with ids in
+                # the common dense mapping — an O(n) check dodges the
+                # O(n log n) argsort on the cold path (~150 ms at 1M)
+                if dkeys.size < 2 or np.all(dkeys[:-1] <= dkeys[1:]):
+                    self._key_order = np.arange(dkeys.size, dtype=np.int64)
+                else:
+                    self._key_order = np.argsort(dkeys, kind="stable")
             order = self._key_order
             keys_sorted = dkeys[order]
             want = np.asarray(sorted(set(keys)), dtype=np.int64)

@@ -223,7 +223,7 @@ class RerankExecutor:
             entry[1] = self.engine.doc_view(entry[0])
         return entry[1]
 
-    def _word_matcher_docs(self, q: str) -> list[int]:
+    def _word_matcher_docs(self, q: str) -> np.ndarray:
         """WordMatcher candidate docs (exact ∪ LD1 ∪ affix) for the query
         words, served from the dedicated wm_words word-postings table
         (len >= 2 words, NO df cutoff — WordMatcher.cs keeps its indexes
@@ -231,7 +231,6 @@ class RerankExecutor:
         still match). Legacy indexes without the table fall back to term
         postings, where stop-demoted words contribute no candidates
         (documented delta)."""
-        docs: set[int] = set()
         probe_terms: set[str] = set()
         vocab = self._affix_vocab
         for w in set(word_tokens(q, min_size=2)):
@@ -246,16 +245,33 @@ class RerankExecutor:
         if wm is not None and getattr(self.r, "_wm_words", None) is not None:
             # dedicated word-level postings: no df cutoff (reference
             # WordMatcher semantics — stop words and len-2 words match)
-            for ids in wm(sorted(probe_terms)).values():
-                docs.update(int(d) for d in ids)
-            return sorted(docs)
-        # legacy indexes without wm_words: words >= min gram size are
-        # index terms; stop-demoted terms have no stored postings
-        fetched = self.r.fetch_terms(sorted(probe_terms))
-        for tp in fetched.values():
-            if 0 < tp.df <= self.r.stop_term_limit:
-                docs.update(int(d) for d in tp.doc_ids)
-        return sorted(docs)
+            arrs = [
+                np.asarray(ids, dtype=np.int64)
+                for ids in wm(sorted(probe_terms)).values()
+            ]
+        else:
+            # legacy indexes without wm_words: words >= min gram size are
+            # index terms; stop-demoted terms have no stored postings
+            fetched = self.r.fetch_terms(sorted(probe_terms))
+            arrs = [
+                np.asarray(tp.doc_ids, dtype=np.int64)
+                for tp in fetched.values()
+                if 0 < tp.df <= self.r.stop_term_limit
+            ]
+        if not arrs:
+            return np.zeros(0, dtype=np.int64)
+        cat = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+        # per-word lists are sorted, so the concatenation is a sequence
+        # of ascending runs — the stable sort (timsort) merges them in
+        # near-linear time; the run-dedup replaces np.unique's extra
+        # flatten copy (stop-word unions reach ~corpus size at 1M docs)
+        cat = np.sort(cat, kind="stable")
+        if cat.size > 1:
+            keep = np.empty(cat.size, dtype=bool)
+            keep[0] = True
+            np.not_equal(cat[1:], cat[:-1], out=keep[1:])
+            cat = cat[keep]
+        return cat
 
     def _lexical_prescreen(
         self, q: str, s1: list[tuple[int, float]]
@@ -345,14 +361,24 @@ class RerankExecutor:
         # full (potentially corpus-sized) WordMatcher doc set
         ids_by_key = self.r.ids_for_keys([d for d, _ in s1])
         s1_id_set = {i for ids in ids_by_key.values() for i in ids}
-        wm_overlap = [i for i in wm_docs if i in s1_id_set]
+        # wm_docs ascends (sorted unique), so overlap/unique keep the
+        # scalar loop's order; searchsorted membership replaces the
+        # per-id set probes (wm_docs reaches ~corpus size on stop-word
+        # queries at 1M docs)
+        if len(wm_docs) and s1_id_set:
+            s1_arr = np.fromiter(
+                s1_id_set, dtype=np.int64, count=len(s1_id_set)
+            )
+            s1_arr.sort()
+            pos = np.minimum(
+                np.searchsorted(s1_arr, wm_docs), s1_arr.size - 1
+            )
+            hit = s1_arr[pos] == wm_docs
+        else:
+            hit = np.zeros(len(wm_docs), dtype=bool)
+        wm_overlap = wm_docs[hit].tolist()
         wm_limit = max(0, depth - len(wm_overlap))
-        wm_unique: list[int] = []
-        for i in wm_docs:
-            if len(wm_unique) >= wm_limit:
-                break
-            if i not in s1_id_set:
-                wm_unique.append(i)
+        wm_unique = wm_docs[~hit][:wm_limit].tolist()
 
         # keys + texts only for the <= 2*depth candidates actually
         # processed (VERDICT r1 #1: never point-fetch the full WM doc set)
@@ -505,7 +531,7 @@ class RerankExecutor:
                     continue
                 process(internal, key, score / max_tfidf if max_tfidf > 0 else 0.0)
 
-        if max_word_hits == 0 and not wm_docs:
+        if max_word_hits == 0 and len(wm_docs) == 0:
             return [(d, s, 0) for d, s in s1[:k]]
 
         entries.sort(key=lambda e: (-e[0], -e[1], e[2]))

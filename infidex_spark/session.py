@@ -60,26 +60,14 @@ def get_spark(
         # README.md:497): zstd beats the snappy default ~1.5-2x on the
         # string-heavy tables at a negligible write-CPU cost
         .config("spark.sql.parquet.compression.codec", "zstd")
-        # parquet row-group size: the index's point-read tables
-        # (postings/prefixes/wm_words/...) are served by
-        # to_table(filter=key==x) lookups that can only skip whole row
-        # groups; with the 128 MB default a single lookup decompresses
-        # an entire bucket file (0.27-0.65 s stage-1 cold at 1M docs).
-        # Rows are key-sorted within files, so 128 KB groups give
-        # selective min/max stats and a lookup decodes ~128 KB. The
-        # writer also only re-checks accumulated size every 100 rows by
-        # default — fat-row tables (a prefixes row carries a whole
-        # doc-id list) hit the limit within a handful of rows, so the
-        # row-check bounds come down with it.
-        .config(
-            "spark.hadoop.parquet.block.size",
-            os.environ.get("SPARK_GRAFT_PARQUET_BLOCK", "131072"),
-        )
-        # parquet-mr schedules BOTH its page and row-group size checks
-        # from this row-count knob (first check only after 100 records
-        # by default) — the fat-row tables have <100 rows per file, so
-        # without it the block.size limit is never even consulted
-        .config("spark.hadoop.parquet.page.size.row.check.min", "2")
+        # NOTE on parquet row-group size: the index's point-read tables
+        # (postings/prefixes/wm_words/...) are written with 128 KB row
+        # groups via per-write options (indexer.POINT_READ_WRITE_OPTS)
+        # so to_table(filter=key==x) lookups decode ~128 KB instead of
+        # a whole bucket file. That is deliberately NOT set session-wide:
+        # the full-scan tables (tokens cache, doc_stats, pattern_scores,
+        # sq_topk) want the default fat groups for write and scan
+        # throughput.
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
