@@ -234,8 +234,10 @@ def encode_postings_batch(
 
 def decode_postings(payload: bytes, weights: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of encode_postings: (doc_ids int64[], weights uint8[])."""
-    gaps = decode_varints(payload, n).astype(np.int64)
-    doc_ids = np.cumsum(gaps)
+    gaps = decode_varints(payload, n)
+    # same-dtype cumsum (a cross-dtype cumsum casts per element — slow),
+    # then a free int64 view: doc ids are < 2^63 so values are unchanged
+    doc_ids = np.cumsum(gaps).view(np.int64)
     w = np.frombuffer(weights, dtype=np.uint8)[:n]
     return doc_ids, w
 
@@ -266,9 +268,10 @@ def decode_posting_blocks(
     s = b0 * BLOCK_SIZE
     e = min(b1 * BLOCK_SIZE, n)
     count = e - s
-    gaps = decode_varints(payload[p0:p1], count).astype(np.int64)
+    gaps = decode_varints(payload[p0:p1], count)
     base = int(block_last_doc[b0 - 1]) if b0 > 0 else 0
-    doc_ids = np.cumsum(gaps) + base
+    doc_ids = np.cumsum(gaps).view(np.int64)
+    doc_ids += base
     w = np.frombuffer(weights, dtype=np.uint8)[s:e]
     return doc_ids, w
 

@@ -56,6 +56,7 @@ import json
 import math
 import os
 import shutil
+import threading
 import time
 from typing import Iterator
 
@@ -718,10 +719,14 @@ def build_index(
     # submitted while phase-1 tails may still run)
     pool = ThreadPoolExecutor(max_workers=8)
     fut_doc_stats = pool.submit(_timed, "doc_stats", _doc_stats_job)
+    # set by _build_prefixes the moment doc_meta + doc_store land — the
+    # sq_topk chain depends on those two tables, not on the champions/
+    # prefix-lists tail of the same job
+    meta_done = threading.Event()
     fut_prefixes = (
         pool.submit(
             _timed, "prefixes", _build_prefixes, docs, out_dir,
-            max_prefix_docs, synonym_map, aux_secs,
+            max_prefix_docs, synonym_map, aux_secs, meta_done,
         )
         if aux
         else None
@@ -926,15 +931,21 @@ def build_index(
     # join the concurrent doc-derived jobs (propagates their exceptions)
     sum_dl = fut_doc_stats.result()
     avgdl = float(np.float32(sum_dl) / np.float32(n_docs_total)) if n_docs_total else 0.0
-    if fut_prefixes is not None:
-        fut_prefixes.result()
     f_sqt = None
     if do_ps:
-        # champion lists need pattern_scores + doc_meta (prefixes chain)
-        # + doc_stats — all landed; submit NOW so the single distributed
-        # pass overlaps the word_family tail instead of serializing
-        # after it. The per-doc sidecar only needs doc_meta/doc_stats,
-        # so it runs concurrently with the pattern_scores tail too.
+        # the sq_topk chain reads pattern_scores + doc_meta + doc_stats +
+        # postings — NOT the champions/prefix-lists tail of the prefixes
+        # job, so it waits only for the doc_meta/doc_store event (set
+        # mid-job by _build_prefixes) and overlaps that job's remaining
+        # ~half. The per-doc sidecar needs just doc_meta/doc_stats, so it
+        # also runs concurrently with the pattern_scores tail.
+        while not meta_done.wait(timeout=1.0):
+            if fut_prefixes is None or fut_prefixes.done():
+                # finished (or failed) without setting the event —
+                # propagate the error instead of hanging
+                if fut_prefixes is not None:
+                    fut_prefixes.result()
+                break
         f_side = pool.submit(
             _timed, "sq_sidecar", _sq_topk_sidecar, spark, out_dir
         )
@@ -948,6 +959,8 @@ def build_index(
             os.path.join(out_dir, "postings"), sizes, start_pad,
             side_fut=f_side,
         )
+    if fut_prefixes is not None:
+        fut_prefixes.result()
     if fut_word_family is not None:
         fut_word_family.result()
     _mark("join_doc_stats_prefixes")
@@ -1229,7 +1242,7 @@ def _build_word_family(
 
 def _build_prefixes(
     docs: DataFrame, out_dir: str, max_prefix_docs: int, synonym_map=None,
-    aux_secs: dict | None = None,
+    aux_secs: dict | None = None, meta_done: threading.Event | None = None,
 ) -> None:
     """Positional prefix index (B6) + champion lists (B7) + doc metadata
     (B8). Per (prefix of 1..3 chars, doc): first token position, word-start
@@ -1418,6 +1431,10 @@ def _build_prefixes(
         f_meta = ppool.submit(_meta_job)
         f_lists = ppool.submit(_lists_job)
         doc_meta = f_meta.result()
+        if meta_done is not None:
+            # doc_meta + doc_store are on disk: unblock the sq_topk
+            # chain in build_index while champions/prefix lists finish
+            meta_done.set()
 
         # ---- champion lists (B7): top-64 per prefix by the short-query
         # score (covers hot prefixes, whose full rows are not stored)

@@ -1592,7 +1592,10 @@ class QueryExecutor:
         r = self.r
         patterns = build_prefix_patterns(q, r.sizes[0], r.start_pad)
         ids_l: list[np.ndarray] = []
-        w_l: list[np.ndarray] = []
+        # weights stay (raw tf array, scalar multiplier) pairs until
+        # aggregation: the eager per-term float64 materialization was
+        # ~1.3 s of copies on broad-fuzzy queries at 1M docs
+        w_l: list[tuple[np.ndarray, float]] = []
 
         get_ps = getattr(r, "pattern_scores", None)
         ps_delta = getattr(r, "pattern_scores_delta_fmt", False)
@@ -1605,7 +1608,7 @@ class QueryExecutor:
                 continue
             if got[0].size:
                 ids_l.append(got[0])
-                w_l.append(got[1].astype(np.float64) * 10.0)
+                w_l.append((got[1], 10.0))
             if ps_delta and len(pat) == 3 and not pat.startswith("￿"):
                 # fmt 2: the row is a delta — the base gram's own
                 # postings (lazily decoded, term-cached) complete it.
@@ -1618,7 +1621,7 @@ class QueryExecutor:
                 if tp is None or tp.df <= 0 or tp.n_docs == 0:
                     continue
                 ids_l.append(tp.doc_ids)
-                w_l.append(tp.tfs.astype(np.float64) * 10.0)
+                w_l.append((tp.tfs, 10.0))
         if live_pats:
             expanded: list[str] = []
             for pat in live_pats:
@@ -1629,27 +1632,34 @@ class QueryExecutor:
                 if tp is None or tp.df <= 0 or tp.n_docs == 0:
                     continue
                 ids_l.append(tp.doc_ids)
-                w_l.append(tp.tfs.astype(np.float64) * 10.0)
+                w_l.append((tp.tfs, 10.0))
 
         def aggregate():
             if not ids_l:
                 z = np.zeros(0, dtype=np.int64)
                 return z, np.zeros(0, dtype=np.float64), z
-            ids_cat = np.concatenate(ids_l)
-            w_cat = np.concatenate(w_l)
+            total = int(sum(a.size for a in ids_l))
+            max_id = max(int(a.max()) for a in ids_l if a.size)
             # weights are positive integer-valued floats < 2^53: sums are
-            # exact in float64, so both branches produce identical values
-            if ids_cat.size * 8 < r.total_docs or (
-                ids_cat.size and int(ids_cat.max()) >= r.total_docs
-            ):
+            # exact in float64, so all branches produce identical values
+            if total * 8 < r.total_docs or max_id >= r.total_docs:
                 # sparse matches (or non-dense caller ids): sort-based
                 # unique avoids an O(total_docs) dense allocation
+                ids_cat = np.concatenate(ids_l)
+                w_cat = np.concatenate(
+                    [t.astype(np.float64) * m for t, m in w_l]
+                )
                 uids, inv = np.unique(ids_cat, return_inverse=True)
                 iscores = np.bincount(inv, weights=w_cat, minlength=uids.size)
             else:
-                # internal ids are dense [0, total_docs): one O(nnz + N)
-                # bincount replaces the sort
-                dense = np.bincount(ids_cat, weights=w_cat, minlength=r.total_docs)
+                # internal ids are dense [0, total_docs): per-term
+                # scatter adds into one dense accumulator — doc ids are
+                # unique within a term, so fancy-index += is exact, and
+                # the former giant concatenate + bincount (hundreds of
+                # MB of copies on broad-fuzzy queries) never happens
+                dense = np.zeros(r.total_docs, dtype=np.float64)
+                for a, (t, m) in zip(ids_l, w_l):
+                    dense[a] += t * m
                 uids = np.flatnonzero(dense)
                 iscores = dense[uids]
             _, keys = r.doc_lengths(uids)
@@ -1671,7 +1681,7 @@ class QueryExecutor:
                     if tp is None or tp.df <= 0 or tp.n_docs == 0:
                         continue
                     ids_l.append(tp.doc_ids)
-                    w_l.append(tp.tfs.astype(np.float64) * mult)
+                    w_l.append((tp.tfs, float(mult)))
                 uids, iscores, ukeys = aggregate()
                 keys_sorted = bool(
                     ukeys.size == 0 or np.all(ukeys[1:] > ukeys[:-1])
