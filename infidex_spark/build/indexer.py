@@ -1394,12 +1394,21 @@ def _build_prefixes(
         dm = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
         dm.sortWithinPartitions("doc_id").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "doc_meta"))
         dm = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+        if aux_secs is not None:
+            aux_secs["doc_meta"] = round(time.time() - s, 2)
+        return dm
+
+    def _store_job():
+        # driver-side pyarrow read + doc_id sort + Arrow-IPC write: only
+        # needs doc_meta on disk, and nothing downstream of THIS job
+        # waits on it (slim and the query nodes do, and build_index
+        # joins this whole future first) — keep its fixed ~5-10 s of
+        # driver work off the champions critical path, where it was a
+        # direct N->4N efficiency tax
         s2 = time.time()
         _write_doc_store(out_dir)
         if aux_secs is not None:
             aux_secs["doc_store_write"] = round(time.time() - s2, 2)
-            aux_secs["doc_meta"] = round(time.time() - s, 2)
-        return dm
 
     def _lists_job():
         s = time.time()
@@ -1427,14 +1436,15 @@ def _build_prefixes(
 
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
-    with _TPE(max_workers=2) as ppool:
+    with _TPE(max_workers=3) as ppool:
         f_meta = ppool.submit(_meta_job)
         f_lists = ppool.submit(_lists_job)
         doc_meta = f_meta.result()
         if meta_done is not None:
-            # doc_meta + doc_store are on disk: unblock the sq_topk
-            # chain in build_index while champions/prefix lists finish
+            # doc_meta is on disk: unblock the sq_topk chain in
+            # build_index while champions/prefix lists/doc_store finish
             meta_done.set()
+        f_store = ppool.submit(_store_job)
 
         # ---- champion lists (B7): top-64 per prefix by the short-query
         # score (covers hot prefixes, whose full rows are not stored)
@@ -1468,6 +1478,7 @@ def _build_prefixes(
         )
         champions.sortWithinPartitions("prefix").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "champions"))
         f_lists.result()
+        f_store.result()
     pairs.unpersist()
 
 
