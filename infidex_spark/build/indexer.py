@@ -607,17 +607,6 @@ def build_index(
         )
         # df contribution per (term, doc): occ - successful accumulates
         tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
-    if tokens_storage == "parquet":
-        if not (resume and os.path.isdir(tokens_path)):
-            tokens.write.mode("overwrite").parquet(tokens_path)
-        tokens = spark.read.parquet(tokens_path)
-    else:
-        from pyspark import StorageLevel
-
-        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
-        tokens.count()  # materialize once; reused by df/stats/postings
-    _mark("tokenize")
-
     agg_row = docs.agg(
         F.count("*").alias("n"), F.max("doc_id").alias("mx"),
         F.min("doc_id").alias("mn"),
@@ -643,6 +632,52 @@ def build_index(
             RuntimeWarning,
             stacklevel=2,
         )
+
+    # ---- docs-derived aux jobs submit BEFORE the tokens materialization:
+    # _build_prefixes and _build_word_family read only the persisted docs
+    # input, so their stages overlap the tokenize pass. At low
+    # parallelism the machine is saturated either way (wall = total work
+    # / cores); at high parallelism the word_family tail was the aux
+    # phase's critical-path straggler — starting it a full tokenize
+    # earlier shortens exactly the path the N->4N efficiency ratio
+    # measures.
+    from concurrent.futures import ThreadPoolExecutor
+
+    # sized for: doc_stats + prefixes + wm_words + word_tables (phase 1)
+    # plus checkpoints + variants + term_dict + pattern_scores (phase 2,
+    # submitted while phase-1 tails may still run)
+    pool = ThreadPoolExecutor(max_workers=8)
+    # set by _build_prefixes the moment doc_meta + doc_store land — the
+    # sq_topk chain depends on those two tables, not on the champions/
+    # prefix-lists tail of the same job
+    meta_done = threading.Event()
+    fut_prefixes = (
+        pool.submit(
+            _timed, "prefixes", _build_prefixes, docs, out_dir,
+            max_prefix_docs, synonym_map, aux_secs, meta_done,
+        )
+        if aux
+        else None
+    )
+    fut_word_family = (
+        pool.submit(
+            _timed, "word_family", _build_word_family, docs, out_dir,
+            synonym_map, stop_term_limit,
+        )
+        if aux
+        else None
+    )
+
+    if tokens_storage == "parquet":
+        if not (resume and os.path.isdir(tokens_path)):
+            tokens.write.mode("overwrite").parquet(tokens_path)
+        tokens = spark.read.parquet(tokens_path)
+    else:
+        from pyspark import StorageLevel
+
+        tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
+        tokens.count()  # materialize once; reused by df/stats/postings
+    _mark("tokenize")
 
     # ---- term df + stop-term identification (shuffle 1, one pass)
     # The stop set (df > stop_term_limit) stays ON THE CLUSTER: Spark
@@ -696,11 +731,8 @@ def build_index(
             .collect()
         ]
 
-    # ---- doc stats (shuffle 2) + prefixes: independent of the postings
-    # dataflow, so they run as concurrent Spark jobs from worker threads —
-    # their stages fill scheduler gaps in the postings build (free at
-    # saturation, real wall-clock win at high parallelism)
-    from concurrent.futures import ThreadPoolExecutor
+    # ---- doc stats (shuffle 2): needs the live token stream, so it
+    # submits here; prefixes/word_family are already running (above)
 
     def _doc_stats_job() -> float:
         dl_df = live.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
@@ -714,31 +746,7 @@ def build_index(
         written = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
         return written.agg(F.sum("dl")).collect()[0][0] or 0.0
 
-    # sized for: doc_stats + prefixes + wm_words + word_tables (phase 1)
-    # plus checkpoints + variants + term_dict + pattern_scores (phase 2,
-    # submitted while phase-1 tails may still run)
-    pool = ThreadPoolExecutor(max_workers=8)
     fut_doc_stats = pool.submit(_timed, "doc_stats", _doc_stats_job)
-    # set by _build_prefixes the moment doc_meta + doc_store land — the
-    # sq_topk chain depends on those two tables, not on the champions/
-    # prefix-lists tail of the same job
-    meta_done = threading.Event()
-    fut_prefixes = (
-        pool.submit(
-            _timed, "prefixes", _build_prefixes, docs, out_dir,
-            max_prefix_docs, synonym_map, aux_secs, meta_done,
-        )
-        if aux
-        else None
-    )
-    fut_word_family = (
-        pool.submit(
-            _timed, "word_family", _build_word_family, docs, out_dir,
-            synonym_map, stop_term_limit,
-        )
-        if aux
-        else None
-    )
     _mark("doc_stats_submit")
 
     # ---- postings: skew-aware agg + encode
