@@ -1639,7 +1639,7 @@ class QueryExecutor:
                 z = np.zeros(0, dtype=np.int64)
                 return z, np.zeros(0, dtype=np.float64), z
             total = int(sum(a.size for a in ids_l))
-            max_id = max(int(a.max()) for a in ids_l if a.size)
+            max_id = max((int(a.max()) for a in ids_l if a.size), default=-1)
             # weights are positive integer-valued floats < 2^53: sums are
             # exact in float64, so all branches produce identical values
             if total * 8 < r.total_docs or max_id >= r.total_docs:
@@ -2049,10 +2049,11 @@ def _intersect_terms(terms: list) -> np.ndarray:
 def _intersect_terms_tf(terms: list) -> tuple[np.ndarray, list[np.ndarray] | None]:
     """_intersect_terms that also captures each term's tf aligned to the
     final result (every term hits every surviving doc in a full AND).
-    Returned tf list is ordered like `terms` sorted by ascending n_docs
-    — callers get the mapping from the same sort. tf arrays ride along
-    the probes the intersection performs anyway; realignment after a
-    shrink is a boolean-mask slice, not a re-search."""
+    The returned tf list is aligned to the INPUT `terms` order (the
+    internal ascending-n_docs sort is undone before returning). tf
+    arrays ride along the probes the intersection performs anyway;
+    realignment after a shrink is a boolean-mask slice, not a
+    re-search."""
     order = sorted(range(len(terms)), key=lambda i: terms[i].n_docs)
     t0 = terms[order[0]]
     out = t0.doc_ids

@@ -442,7 +442,12 @@ class RerankExecutor:
             if items:
                 feats_map = self.batch.compute(self.engine, ctx, items)
                 if len(ctx_feats) >= 100_000:
+                    # the trips read below fetches ctx_feats[i] for every
+                    # id in `order` — re-seed the entries this query still
+                    # needs across the wipe or cached candidates KeyError
+                    keep = {i: ctx_feats[i] for i, _ in order if i in ctx_feats}
                     ctx_feats.clear()
+                    ctx_feats.update(keep)
                 for i, text, lcs in items:
                     ctx_feats[i] = (feats_map[i], lcs, text)
         else:

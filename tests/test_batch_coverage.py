@@ -273,3 +273,43 @@ def test_cascade_all_equals_scalar_cascade(seed):
             for f in B._StateShim.__slots__:
                 g, w = getattr(got[k], f), getattr(want, f)
                 assert g == w, (query, docs[k], f, g, w)
+
+
+def test_batch_feats_cache_wipe_mid_query(spark, tmp_path):
+    """The per-query feature cache is wiped at 100k entries. The batch
+    path reads ctx_feats[i] for EVERY candidate after computing only the
+    uncached ones — a wipe triggered by the new items must re-seed the
+    cached candidates this query still needs (ADVICE r5: latent KeyError
+    when a query's cache crossed 100k between searches)."""
+    from infidex_spark.build.indexer import build_index
+    from infidex_spark.fixtures import REFERENCE_DOCS
+    from infidex_spark.query.executor import IndexReader
+    from infidex_spark.query.rerank import RerankExecutor
+
+    d = str(tmp_path / "wipe")
+    df = spark.createDataFrame(
+        [(i, key, text) for i, (key, text) in enumerate(REFERENCE_DOCS)],
+        "doc_id long, doc_key long, text string",
+    )
+    build_index(spark, df, d, n_buckets=4)
+    rb = RerankExecutor(IndexReader(d), use_batch=True)
+    q = "gotham city"
+    want = rb.search(q, 10)
+    assert want, "query must produce candidates"
+    # the engine caches one ctx per (normalized) query string
+    ctxs = rb.engine._ctx_cache
+    assert len(ctxs) == 1
+    feats = next(iter(ctxs.values()))["feats_by_id"]
+    assert len(feats) >= 2, "need cached candidates to survive the wipe"
+    # evict ONE real candidate (forces a non-empty batch `items`) and
+    # inflate the cache past the wipe threshold with ids no candidate
+    # can collide with (internal ids are non-negative)
+    evicted = next(iter(feats))
+    del feats[evicted]
+    for j in range(100_000):
+        feats[-(j + 1)] = (None, 0, "")
+    got = rb.search(q, 10)  # pre-fix: KeyError on a cached candidate
+    assert got == want
+    # the wipe ran: dummies are gone, this query's candidates remain
+    leftover = next(iter(ctxs.values()))["feats_by_id"]
+    assert all(i >= 0 for i in leftover)
