@@ -867,8 +867,16 @@ def build_index(
                 .sortWithinPartitions(F.xxhash64("term"), "term")
                 .mapInPandas(_merge_partial_stream(n_buckets), schema=POSTINGS_SCHEMA)
                 # re-sort the compact per-term rows by term so parquet
-                # row-group min/max stats stay selective for point lookups
-                .sortWithinPartitions("term")
+                # row-group min/max stats stay selective for point lookups.
+                # bucket MUST lead the sort keys: partitionBy("bucket")
+                # requires child ordering to start with the partition
+                # column, and when it doesn't Spark inserts its own
+                # sort-by-bucket that DESTROYS the term order (observed:
+                # unsorted term stats in every row group). (bucket, term)
+                # satisfies the writer's requirement, so no extra sort is
+                # inserted and rows inside each bucket file stay
+                # term-sorted.
+                .sortWithinPartitions("bucket", "term")
             )
         # non-resume runs cleared the dir up front, so append is always safe
         part_df.write.mode("append").options(**POINT_READ_WRITE_OPTS).partitionBy("bucket").parquet(postings_path)

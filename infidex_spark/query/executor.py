@@ -29,6 +29,20 @@ from infidex_spark.kernel.normalize import normalize
 from infidex_spark.kernel.tokenize import search_tokens, word_tokens
 
 
+def _list_views(col):
+    """(flat int64 values, int64 offsets) for an arrow list column — the
+    vectorized replacement for per-row as_py on block arrays."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False
+    )
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offs
+
+
 def term_bucket(term: str, n_buckets: int) -> int:
     """Matches the build job's pmod(crc32(utf8(term)), n_buckets)."""
     return zlib.crc32(term.encode("utf-8")) % n_buckets
@@ -474,53 +488,184 @@ class IndexReader:
                 out[t] = hit
         if not missing:
             return out
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
-        flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(missing)
         cols = ["term", "df", "n_docs", "payload", "weights",
                 "block_last_doc", "block_max_w"]
         has_offsets = "block_offsets" in self._postings.schema.names
         if has_offsets:
             cols.append("block_offsets")
-        tbl = self._postings.to_table(columns=cols, filter=flt)
-        found: set[str] = set()
-        for i in range(tbl.num_rows):
-            term = tbl["term"][i].as_py()
-            n = tbl["n_docs"][i].as_py()
+        miss_set = set(missing)
+        for tbl in self._read_term_rows(missing, cols):
+            if tbl.num_rows == 0:
+                continue
+            tcol = tbl["term"].to_pylist()
+            # a stats-targeted row group holds a couple of rows: probe
+            # neighbours ride along in the read but are not materialized
+            sel = [
+                i for i, tm in enumerate(tcol)
+                if tm in miss_set and tm not in out
+            ]
+            if not sel:
+                continue
+            dfs = tbl["df"].to_numpy()
+            nds = tbl["n_docs"].to_numpy()
+            pay = tbl["payload"]
+            wts = tbl["weights"]
+            bl_f, bl_o = _list_views(tbl["block_last_doc"])
+            bm_f, bm_o = _list_views(tbl["block_max_w"])
             if has_offsets:
-                # defer decode: WAND/lookup touch only the blocks they need
-                tp = TermPostings(
-                    term=term,
-                    df=tbl["df"][i].as_py(),
-                    payload=tbl["payload"][i].as_py(),
-                    weights=tbl["weights"][i].as_py(),
-                    n_docs=n,
-                    block_last_doc=np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
-                    block_max_w=np.asarray(tbl["block_max_w"][i].as_py(), dtype=np.int64),
-                    block_offsets=np.asarray(tbl["block_offsets"][i].as_py(), dtype=np.int64),
-                )
-            else:  # legacy index without block byte offsets: eager decode
-                doc_ids, w = decode_postings(
-                    tbl["payload"][i].as_py(), tbl["weights"][i].as_py(), n
-                )
-                tp = TermPostings(
-                    term=term,
-                    df=tbl["df"][i].as_py(),
-                    doc_ids=doc_ids,
-                    tfs=w.astype(np.float32),
-                    block_last_doc=np.asarray(tbl["block_last_doc"][i].as_py(), dtype=np.int64),
-                    block_max_w=np.asarray(tbl["block_max_w"][i].as_py(), dtype=np.int64),
-                )
-            out[term] = tp
-            found.add(term)
-            if self._term_cache_size + n > self.TERM_CACHE_MAX_POSTINGS:
-                cache.clear()
-                self._term_cache_size = 0
-            cache[term] = tp
-            self._term_cache_size += n
+                bo_f, bo_o = _list_views(tbl["block_offsets"])
+            for i in sel:
+                term = tcol[i]
+                n = int(nds[i])
+                if has_offsets:
+                    # defer decode: WAND/lookup touch only needed blocks
+                    tp = TermPostings(
+                        term=term,
+                        df=int(dfs[i]),
+                        payload=pay[i].as_py(),
+                        weights=wts[i].as_py(),
+                        n_docs=n,
+                        block_last_doc=bl_f[bl_o[i]:bl_o[i + 1]].copy(),
+                        block_max_w=bm_f[bm_o[i]:bm_o[i + 1]].copy(),
+                        block_offsets=bo_f[bo_o[i]:bo_o[i + 1]].copy(),
+                    )
+                else:  # legacy index without block offsets: eager decode
+                    doc_ids, w = decode_postings(
+                        pay[i].as_py(), wts[i].as_py(), n
+                    )
+                    tp = TermPostings(
+                        term=term,
+                        df=int(dfs[i]),
+                        doc_ids=doc_ids,
+                        tfs=w.astype(np.float32),
+                        block_last_doc=bl_f[bl_o[i]:bl_o[i + 1]].copy(),
+                        block_max_w=bm_f[bm_o[i]:bm_o[i + 1]].copy(),
+                    )
+                out[term] = tp
+                if self._term_cache_size + n > self.TERM_CACHE_MAX_POSTINGS:
+                    cache.clear()
+                    self._term_cache_size = 0
+                cache[term] = tp
+                self._term_cache_size += n
         for t in missing:
-            if t not in found:
+            if t not in out:
                 cache[t] = _TERM_MISS
         return out
+
+    def _postings_frag_index(self):
+        """bucket id -> [parquet fragment, ...] for the postings dataset,
+        listed once per reader; None when the layout is not the expected
+        hive bucket=N partitioning (callers fall back to a dataset scan)."""
+        idx = getattr(self, "_pfrag_idx", False)
+        if idx is not False:
+            return idx
+        import re as _re
+
+        idx = {}
+        try:
+            for fr in self._postings.get_fragments():
+                m = _re.search(r"bucket=(\d+)", fr.path)
+                if m is None:
+                    idx = None
+                    break
+                idx.setdefault(int(m.group(1)), []).append(fr)
+        except OSError:
+            idx = None
+        self._pfrag_idx = idx
+        return idx
+
+    def _postings_bucket_meta(self, b: int):
+        """Parquet-stats term dictionary for one postings bucket: a list
+        of (fragment, group term mins, group term maxs) built once per
+        reader. The build writes each bucket's rows term-sorted in small
+        row groups, so the per-group [min, max] intervals are narrow and
+        a point probe touches one or two groups — the columnar analogue
+        of the reference's FST term dictionary (term -> posting offsets);
+        here the parquet footer stats ARE the dictionary. Stats bounds
+        stay valid (just wider) on unsorted legacy files, and parquet
+        min/max truncation only ever widens the interval. Returns None
+        when stats are unavailable — callers fall back to a filtered
+        dataset scan."""
+        cache = getattr(self, "_pb_meta", None)
+        if cache is None:
+            cache = self._pb_meta = {}
+        entry = cache.get(b, False)
+        if entry is not False:
+            return entry
+        fridx = self._postings_frag_index()
+        entry = [] if fridx is not None else None
+        if fridx is not None:
+            for fr in fridx.get(b, []):
+                try:
+                    fr.ensure_complete_metadata()
+                except OSError:
+                    entry = None
+                    break
+                mins: list[str] = []
+                maxs: list[str] = []
+                for rg in fr.row_groups:
+                    st = (rg.statistics or {}).get("term")
+                    if (
+                        not st
+                        or st.get("min") is None
+                        or st.get("max") is None
+                    ):
+                        entry = None
+                        break
+                    mins.append(st["min"])
+                    maxs.append(st["max"])
+                if entry is None:
+                    break
+                entry.append((fr, mins, maxs))
+        cache[b] = entry
+        return entry
+
+    def _read_term_rows(self, missing: list[str], cols: list[str]):
+        """Arrow tables that together contain every postings row for
+        `missing` (plus same-row-group neighbours): group the probes by
+        bucket, select the row groups whose term stats interval can hold
+        a probed term, and read them all in ONE FileSystemDataset scan.
+        Buckets without usable stats fall back to one filtered dataset
+        scan."""
+        by_bucket: dict[int, list[str]] = {}
+        for t in missing:
+            by_bucket.setdefault(term_bucket(t, self.n_buckets), []).append(t)
+        to_scan = []
+        fallback: list[str] = []
+        for b, tms in by_bucket.items():
+            meta = self._postings_bucket_meta(b)
+            if meta is None:
+                fallback.extend(tms)
+                continue
+            for fr, mins, maxs in meta:
+                gis = sorted(
+                    {
+                        gi
+                        for t in tms
+                        for gi in range(len(mins))
+                        if mins[gi] <= t <= maxs[gi]
+                    }
+                )
+                if gis:
+                    to_scan.append(fr.subset(row_group_ids=gis))
+        tbls = []
+        if to_scan:
+            fsd = ds.FileSystemDataset(
+                to_scan,
+                schema=self._postings.schema,
+                format=self._postings.format,
+                filesystem=self._postings.filesystem,
+            )
+            tbls.append(fsd.to_table(columns=cols))
+        if fallback:
+            buckets = sorted(
+                {term_bucket(t, self.n_buckets) for t in fallback}
+            )
+            flt = ds.field("bucket").isin(buckets) & ds.field("term").isin(
+                fallback
+            )
+            tbls.append(self._postings.to_table(columns=cols, filter=flt))
+        return tbls
 
     def prefix_count(self, prefix: str) -> int:
         if self._prefix_counts is not None:
