@@ -42,6 +42,12 @@ QUERIES = {
 
 
 def main() -> None:
+    # stdout must be EXACTLY one JSON line (the driver json-parses it),
+    # but the Spark JVM inherits fd 1 and writes progress bars/log lines
+    # there. Keep the real stdout aside and point fd 1 at stderr before
+    # the JVM starts; only the final result line uses the saved fd.
+    result_fd = os.dup(1)
+    os.dup2(2, 1)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = 0.1
@@ -193,7 +199,7 @@ def main() -> None:
         **extras,
     }
     spark.stop()
-    print(json.dumps(result))
+    os.write(result_fd, (json.dumps(result) + "\n").encode())
 
 
 if __name__ == "__main__":
