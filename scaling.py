@@ -39,6 +39,7 @@ import os
 import statistics
 import subprocess
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -51,6 +52,75 @@ REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 SHUFFLE_PARTITIONS = 64
 N_BUCKETS = 64
 INPUT = os.path.join(REPO, "_work", f"scaling_input_{N_DOCS}")
+
+# PRE-DECLARED storm-discard rule (fixed before the measurement starts,
+# applied mechanically — never post hoc): while a child runs, the parent
+# samples /proc/stat every 5 s and computes the mean busy fraction of the
+# cores OUTSIDE the 4N mask (cores HIGH..nproc-1 — neither level's child
+# can run there, so activity there is the co-tenant's). A pair is
+# storm-poisoned iff either half's foreign busy fraction exceeds
+# FOREIGN_BUSY_LIMIT; a poisoned pair is discarded (recorded with its raw
+# walls + monitor stats) and the whole pair is re-run, at most
+# MAX_RETRIES_PER_PAIR times, after which the last attempt stands.
+FOREIGN_BUSY_LIMIT = 0.20
+MAX_RETRIES_PER_PAIR = 2
+
+
+class _HostMonitor:
+    """Samples foreign-core busy fraction + load1 while a child runs."""
+
+    def __init__(self, foreign_cores: list[int]):
+        self.foreign = foreign_cores
+        self.samples: list[float] = []
+        self.load1: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _read_stat() -> dict[int, tuple[int, int]]:
+        out = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3].isdigit():
+                    parts = line.split()
+                    cpu = int(parts[0][3:])
+                    vals = [int(x) for x in parts[1:]]
+                    idle = vals[3] + vals[4]  # idle + iowait
+                    total = sum(vals)
+                    out[cpu] = (idle, total)
+        return out
+
+    def _run(self) -> None:
+        prev = self._read_stat()
+        while not self._stop.wait(5.0):
+            cur = self._read_stat()
+            busy = []
+            for c in self.foreign:
+                didle = cur[c][0] - prev[c][0]
+                dtot = cur[c][1] - prev[c][1]
+                if dtot > 0:
+                    busy.append(1.0 - didle / dtot)
+            if busy:
+                self.samples.append(sum(busy) / len(busy))
+            with open("/proc/loadavg") as f:
+                self.load1.append(float(f.read().split()[0]))
+            prev = cur
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=10)
+
+    def stats(self) -> dict:
+        return {
+            "foreign_busy_mean": round(statistics.mean(self.samples), 4) if self.samples else 0.0,
+            "foreign_busy_max": round(max(self.samples), 4) if self.samples else 0.0,
+            "load1_mean": round(statistics.mean(self.load1), 2) if self.load1 else 0.0,
+            "load1_max": round(max(self.load1), 2) if self.load1 else 0.0,
+        }
 
 _CHILD = r"""
 import json, os, shutil, sys, time
@@ -119,26 +189,60 @@ def _run_level(cpus: int) -> dict:
         repo=REPO, inp=INPUT, shuffle=SHUFFLE_PARTITIONS, buckets=N_BUCKETS
     )
     mask = f"0-{cpus - 1}" if cpus > 1 else "0"
-    proc = subprocess.run(
-        ["taskset", "-c", mask, sys.executable, "-c", code, str(cpus)],
-        capture_output=True,
-        text=True,
-        timeout=3600,
-    )
+    foreign = list(range(HIGH, os.cpu_count() or 32))
+    with _HostMonitor(foreign) as mon:
+        proc = subprocess.run(
+            ["taskset", "-c", mask, sys.executable, "-c", code, str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            rec = json.loads(line[len("RESULT "):])
+            rec["host"] = mon.stats()
+            return rec
     raise RuntimeError(
         f"no RESULT from cpus={cpus}:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
     )
 
 
+def _run_pair(idx: int, discarded: list) -> tuple[dict, dict]:
+    """One alternating (N, 4N) pair under the pre-declared discard rule."""
+    for attempt in range(MAX_RETRIES_PER_PAIR + 1):
+        lo = _run_level(LOW)
+        hi = _run_level(HIGH)
+        worst = max(lo["host"]["foreign_busy_mean"], hi["host"]["foreign_busy_mean"])
+        if worst <= FOREIGN_BUSY_LIMIT or attempt == MAX_RETRIES_PER_PAIR:
+            if worst > FOREIGN_BUSY_LIMIT:
+                print(f"pair {idx}: still storm-poisoned after "
+                      f"{MAX_RETRIES_PER_PAIR} retries, keeping last attempt",
+                      file=sys.stderr)
+            return lo, hi
+        discarded.append({
+            "pair": idx, "attempt": attempt,
+            "low_wall": round(lo["wall_sec"], 2), "high_wall": round(hi["wall_sec"], 2),
+            "low_host": lo["host"], "high_host": hi["host"],
+            "reason": f"foreign_busy_mean {worst} > {FOREIGN_BUSY_LIMIT}",
+        })
+        print(f"pair {idx} attempt {attempt}: DISCARDED "
+              f"(foreign busy {worst} > {FOREIGN_BUSY_LIMIT}), re-running",
+              file=sys.stderr)
+    raise AssertionError("unreachable")
+
+
 def main() -> None:
     _prepare_input()
     lows, highs = [], []
-    for _ in range(REPS):  # alternate levels so host noise hits both
-        lows.append(_run_level(LOW))
-        highs.append(_run_level(HIGH))
+    discarded: list[dict] = []
+    for i in range(REPS):  # alternate levels so host noise hits both
+        lo, hi = _run_pair(i, discarded)
+        lows.append(lo)
+        highs.append(hi)
+        print(f"pair {i}: low {lo['wall_sec']:.1f}s (foreign "
+              f"{lo['host']['foreign_busy_mean']}) / high {hi['wall_sec']:.1f}s "
+              f"(foreign {hi['host']['foreign_busy_mean']}) -> eff "
+              f"{lo['wall_sec'] / (4 * hi['wall_sec']):.3f}", file=sys.stderr)
     # Two estimators, both reported. HEADLINE = the MEDIAN pair: it
     # characterizes a typical run on this host and does not privilege
     # the most favorable observation (ADVICE r3 #5 — the co-tenant noise
@@ -186,7 +290,22 @@ def main() -> None:
         "scaling_efficiency_min_envelope": round(efficiency, 3),
         "target": 0.8,
         "meets_target": efficiency_paired >= 0.8,
+        "per_run_host": {
+            "low": [r["host"] for r in lows],
+            "high": [r["host"] for r in highs],
+        },
+        "discard_rule": (
+            f"pre-declared: pair discarded and re-run (max "
+            f"{MAX_RETRIES_PER_PAIR} retries) iff mean busy fraction of "
+            f"cores outside the 4N mask (cores {HIGH}..{(os.cpu_count() or 32) - 1}, "
+            f"sampled from /proc/stat every 5s) exceeds {FOREIGN_BUSY_LIMIT} "
+            f"during either half"
+        ),
+        "discarded_pairs": discarded,
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "git_head": subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True).stdout.strip(),
         "note": (
             "identical input + DAG (fixed shuffle partitions/buckets), "
             "fresh JVM per run, taskset-pinned to exactly N cores, warm "
