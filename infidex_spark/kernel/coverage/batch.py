@@ -131,7 +131,7 @@ class DocView:
     never need them."""
 
     __slots__ = (
-        "codes", "starts", "uniq", "mt_codes", "mt_pos", "mt_l",
+        "codes", "starts", "uniq", "mt_codes", "mt_pos", "_mt_l",
         "order_local", "raw_long_count", "_uset", "_jl_l", "_d_order_l",
         "_mt_do",
     )
@@ -141,6 +141,15 @@ class DocView:
         self._jl_l = None
         self._d_order_l = None
         self._mt_do = None
+        self._mt_l = None
+
+    @property
+    def mt_l(self) -> list:
+        """Matcher-token codes as a list — lazy like the other walk
+        forms (the probe gates skip the cascade walk for most views)."""
+        if self._mt_l is None:
+            self._mt_l = self.mt_codes.tolist()
+        return self._mt_l
 
     @property
     def uset(self):
@@ -250,7 +259,6 @@ def build_views(
         mlo, mhi = mcuts[k], mcuts[k + 1]
         mc = mcodes_all[mlo:mhi]
         v.mt_codes = mc
-        v.mt_l = mc.tolist()
         v.mt_pos = mpos_all[mlo:mhi]
         v.order_local = order_local[mlo:mhi]
         v.raw_long_count = int(raw_long[k])

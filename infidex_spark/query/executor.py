@@ -552,6 +552,19 @@ class IndexReader:
                 cache[t] = _TERM_MISS
         return out
 
+    def prewarm_postings_meta(self) -> None:
+        """Load the parquet-stats term dictionary for every postings
+        bucket up front (fragment listing + footer metadata + per-group
+        term min/max). This is store-open work — the reference likewise
+        loads its FST term dictionary at index open, not on the first
+        query — and it moves ~50 ms of footer reads off the first
+        search's critical path. A few KB per bucket."""
+        try:
+            for b in range(self.n_buckets):
+                self._postings_bucket_meta(b)
+        except Exception:
+            pass  # point reads fall back to filtered dataset scans
+
     def _postings_frag_index(self):
         """bucket id -> [parquet fragment, ...] for the postings dataset,
         listed once per reader; None when the layout is not the expected

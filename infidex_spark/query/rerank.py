@@ -114,6 +114,11 @@ class RerankExecutor:
         else:
             self.batch = None
         self.stage1 = QueryExecutor(reader)
+        # store-open prewarm: postings footer metadata (the parquet-stats
+        # term dictionary) loads here, not on the first query
+        for r in getattr(reader, "readers", [reader]):
+            if hasattr(r, "prewarm_postings_meta"):
+                r.prewarm_postings_meta()
         self.word_vocab_degraded = False
         self._words = (
             reader.word_df_map(word_vocab_cap)
