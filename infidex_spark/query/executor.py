@@ -143,6 +143,82 @@ def _short_query_precedence_vector(titles, q: str) -> np.ndarray:
     return prec
 
 
+# Dense scatter-add accumulator budget for short-query aggregation: the
+# dense path allocates float64[total_docs], which at 100M docs/segment is
+# 800 MB on the driver — bound it by ABSOLUTE bytes, not a ratio, and chunk
+# the id space above the cap (slices stay exact; postings are doc-id
+# ascending so each chunk is a pair of searchsorted cuts per term).
+DENSE_ACC_BYTES = 64 << 20
+
+
+def aggregate_weighted_postings(
+    ids_l: list[np.ndarray],
+    w_l: list[tuple[np.ndarray, float]],
+    total_docs: int,
+    byte_cap: int = DENSE_ACC_BYTES,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sum per-term weighted tf vectors into (unique internal ids ASC,
+    scores) — the short-query aggregation core.
+
+    Weights are positive integer-valued floats < 2^53, so float64 sums are
+    exact and every branch below produces bit-identical results:
+
+    - sparse (matched ids ≪ total_docs, or ids outside [0, total_docs)):
+      sort-based unique + bincount, no O(total_docs) allocation;
+    - dense (broad matches, small corpus): one float64[total_docs]
+      scatter-add accumulator — allowed only while total_docs * 8 fits
+      `byte_cap`;
+    - chunked dense (broad matches, corpus over the cap): the same
+      scatter-add over fixed-size id-range chunks of one reused
+      float64[byte_cap/8] buffer; per-term chunk slices via searchsorted
+      (postings/pattern rows are stored doc-id ascending — verified, with
+      a sparse fallback if any input is unsorted).
+    """
+    if not ids_l:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+    total = int(sum(a.size for a in ids_l))
+    max_id = max((int(a.max()) for a in ids_l if a.size), default=-1)
+    dense_ok = total * 8 >= total_docs and 0 <= max_id < total_docs
+    if dense_ok and total_docs * 8 <= byte_cap:
+        dense = np.zeros(total_docs, dtype=np.float64)
+        for a, (t, m) in zip(ids_l, w_l):
+            # doc ids are unique within a term → fancy-index += is exact
+            dense[a] += t * m
+        uids = np.flatnonzero(dense)
+        return uids, dense[uids]
+    if dense_ok and all(
+        a.size < 2 or bool((a[1:] >= a[:-1]).all()) for a in ids_l
+    ):
+        csize = max(1, byte_cap // 8)
+        dense = np.zeros(csize, dtype=np.float64)
+        uids_parts: list[np.ndarray] = []
+        sc_parts: list[np.ndarray] = []
+        for lo in range(0, total_docs, csize):
+            hi = min(lo + csize, total_docs)
+            used = hi - lo
+            hit = False
+            for a, (t, m) in zip(ids_l, w_l):
+                i0 = int(np.searchsorted(a, lo, side="left"))
+                i1 = int(np.searchsorted(a, hi, side="left"))
+                if i1 > i0:
+                    dense[a[i0:i1] - lo] += t[i0:i1] * m
+                    hit = True
+            if hit:
+                nz = np.flatnonzero(dense[:used])
+                if nz.size:
+                    uids_parts.append(nz + lo)
+                    sc_parts.append(dense[nz].copy())
+                dense[:used] = 0.0
+        if not uids_parts:
+            z = np.zeros(0, dtype=np.int64)
+            return z, np.zeros(0, dtype=np.float64)
+        return np.concatenate(uids_parts), np.concatenate(sc_parts)
+    ids_cat = np.concatenate(ids_l)
+    w_cat = np.concatenate([t.astype(np.float64) * m for t, m in w_l])
+    uids, inv = np.unique(ids_cat, return_inverse=True)
+    return uids, np.bincount(inv, weights=w_cat, minlength=uids.size)
+
+
 class TermPostings:
     """One term's postings with LAZY decode.
 
@@ -1793,33 +1869,15 @@ class QueryExecutor:
                 w_l.append((tp.tfs, 10.0))
 
         def aggregate():
-            if not ids_l:
+            # dense/sparse/chunked selection + exact float64 sums live in
+            # aggregate_weighted_postings (module-level, unit-tested with
+            # both paths forced at a synthetic 10M-doc id space)
+            uids, iscores = aggregate_weighted_postings(
+                ids_l, w_l, r.total_docs
+            )
+            if uids.size == 0:
                 z = np.zeros(0, dtype=np.int64)
                 return z, np.zeros(0, dtype=np.float64), z
-            total = int(sum(a.size for a in ids_l))
-            max_id = max((int(a.max()) for a in ids_l if a.size), default=-1)
-            # weights are positive integer-valued floats < 2^53: sums are
-            # exact in float64, so all branches produce identical values
-            if total * 8 < r.total_docs or max_id >= r.total_docs:
-                # sparse matches (or non-dense caller ids): sort-based
-                # unique avoids an O(total_docs) dense allocation
-                ids_cat = np.concatenate(ids_l)
-                w_cat = np.concatenate(
-                    [t.astype(np.float64) * m for t, m in w_l]
-                )
-                uids, inv = np.unique(ids_cat, return_inverse=True)
-                iscores = np.bincount(inv, weights=w_cat, minlength=uids.size)
-            else:
-                # internal ids are dense [0, total_docs): per-term
-                # scatter adds into one dense accumulator — doc ids are
-                # unique within a term, so fancy-index += is exact, and
-                # the former giant concatenate + bincount (hundreds of
-                # MB of copies on broad-fuzzy queries) never happens
-                dense = np.zeros(r.total_docs, dtype=np.float64)
-                for a, (t, m) in zip(ids_l, w_l):
-                    dense[a] += t * m
-                uids = np.flatnonzero(dense)
-                iscores = dense[uids]
             _, keys = r.doc_lengths(uids)
             return uids, iscores, keys
 
