@@ -77,20 +77,20 @@ def main() -> None:
     build_reps = int(os.environ.get("SPARK_GRAFT_BENCH_BUILD_REPS", "2"))
     build_walls = []
     for _ in range(max(1, build_reps)):
-        t0 = time.time()
+        t0 = time.monotonic()
         manifest = build_index(spark, docs, out_dir, n_buckets=32, salts=8)
-        build_walls.append(round(time.time() - t0, 2))
+        build_walls.append(round(time.monotonic() - t0, 2))
     build_sec = min(build_walls)
 
     # second build WITH the short-query precompute (pattern_scores +
     # sq_topk champions + char_terms), so the precompute's true cost is
     # tracked per round (VERDICT r3 #6) and the query measurements below
     # run against the full production table set
-    t0 = time.time()
+    t0 = time.monotonic()
     manifest = build_index(
         spark, docs, out_dir, n_buckets=32, salts=8, short_precompute=True
     )
-    build_precompute_sec = round(time.time() - t0, 2)
+    build_precompute_sec = round(time.monotonic() - t0, 2)
 
     ex = QueryExecutor(IndexReader(out_dir))
     q_p50: dict[str, float] = {}
@@ -99,9 +99,9 @@ def main() -> None:
         ex.search(text, 10)  # warm (dataset metadata, stop set)
         times = []
         for _ in range(reps):
-            t = time.time()
+            t = time.monotonic()
             ex.search(text, 10)
-            times.append(time.time() - t)
+            times.append(time.monotonic() - t)
         q_p50[name] = round(statistics.median(times), 5)
         lat_all.extend(times)
 
@@ -112,14 +112,14 @@ def main() -> None:
     rr_p50: dict[str, float] = {}
     rr_cold: dict[str, float] = {}
     for name, text in [("typo", QUERIES["typo"]), ("multi_term", QUERIES["multi_term"]), ("flagship", QUERIES["flagship"])]:
-        t = time.time()
+        t = time.monotonic()
         rr.search(text, 10)  # first evaluation: caches cold
-        rr_cold[name] = round(time.time() - t, 5)
+        rr_cold[name] = round(time.monotonic() - t, 5)
         times = []
         for _ in range(max(5, reps // 2)):
-            t = time.time()
+            t = time.monotonic()
             rr.search(text, 10)
-            times.append(time.time() - t)
+            times.append(time.monotonic() - t)
         rr_p50[name] = round(statistics.median(times), 5)
 
     # short-query (D10) first evaluations — measured on fresh executors
@@ -127,17 +127,17 @@ def main() -> None:
     sq_cold: dict[str, float] = {}
     sq_reader = IndexReader(out_dir)
     sq_reader.sq_meta()  # one-time column-cache load, reported separately
-    t = time.time()
+    t = time.monotonic()
     sq_reader._open_ps_store()
     sq_reader.sq_topk("\x00warm\x00")  # one-time champion-table load
-    sq_open = round(time.time() - t, 5)
+    sq_open = round(time.monotonic() - t, 5)
     sq_ex = QueryExecutor(sq_reader)
     # includes the classes that were the r3 worst cases: hot single-token
     # ('fo', 'th', 'an'), two-token ('a b'), sparse fuzzy ('qz', 'xq')
     for text in ["fo", "ba", "tw", "a b", "qz", "th", "an", "xq"]:
-        t = time.time()
+        t = time.monotonic()
         sq_ex.search(text, 10)
-        sq_cold[text] = round(time.time() - t, 5)
+        sq_cold[text] = round(time.monotonic() - t, 5)
 
     # multi-field build: same docs split into (title, body) columns —
     # the vectorized fields tokenizer should stay within ~1.5x of the
@@ -150,17 +150,17 @@ def main() -> None:
         F.expr("substring(text, 41)").alias("body"),
     ).persist()
     fdocs.count()
-    t = time.time()
+    t = time.monotonic()
     build_index(
         spark, fdocs, out_dir + "_fields", n_buckets=32, salts=8,
         fields=[("title", 0), ("body", 1)], aux=False,
     )
-    fields_build_sec = round(time.time() - t, 2)
+    fields_build_sec = round(time.monotonic() - t, 2)
     # aux=False builds only the BM25 core; compare against a matching
     # single-field core build for an apples-to-apples tokenizer ratio
-    t = time.time()
+    t = time.monotonic()
     build_index(spark, docs, out_dir + "_core", n_buckets=32, salts=8, aux=False)
-    core_build_sec = round(time.time() - t, 2)
+    core_build_sec = round(time.monotonic() - t, 2)
 
     extras = {
         "build_wall_reps": build_walls,

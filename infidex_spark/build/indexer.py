@@ -497,12 +497,12 @@ def build_index(
     sub-100ms and the extra build pass isn't worth its wall-clock; the
     query path degrades gracefully either way.
     """
-    t0 = time.time()
+    t0 = time.monotonic()
     step_secs: dict[str, float] = {}
     _last = [t0]
 
     def _mark(step: str) -> None:
-        now = time.time()
+        now = time.monotonic()
         step_secs[step] = round(now - _last[0], 2)
         _last[0] = now
 
@@ -514,15 +514,15 @@ def build_index(
     # overlapped jobs' durations sum to far more than the wall) — the
     # (start, start+dur) intervals give the build's actual Gantt
     aux_starts: dict[str, float] = {}
-    _t_build0 = time.time()
+    _t_build0 = time.monotonic()
 
     def _timed(name: str, fn, *a, **kw):
-        s = time.time()
+        s = time.monotonic()
         aux_starts.setdefault(name, round(s - _t_build0, 2))
         try:
             return fn(*a, **kw)
         finally:
-            aux_secs[name] = round(aux_secs.get(name, 0.0) + time.time() - s, 2)
+            aux_secs[name] = round(aux_secs.get(name, 0.0) + time.monotonic() - s, 2)
 
     os.makedirs(out_dir, exist_ok=True)
     ckpt_dir = os.path.join(out_dir, "checkpoints")
@@ -825,7 +825,7 @@ def build_index(
         todo = [b for b in group if b not in done_buckets]
         if not todo:
             continue
-        g0 = time.time()
+        g0 = time.monotonic()
         if strategy == "salted-agg":
             part_df = (
                 # bucket as a bare expression: evaluated for partitioning
@@ -880,7 +880,7 @@ def build_index(
             )
         # non-resume runs cleared the dir up front, so append is always safe
         part_df.write.mode("append").options(**POINT_READ_WRITE_OPTS).partitionBy("bucket").parquet(postings_path)
-        elapsed = time.time() - g0
+        elapsed = time.monotonic() - g0
 
         def _ck_job(todo=todo, elapsed=elapsed):
             # lineage/metrics read-back runs OFF the critical path (in the
@@ -1003,7 +1003,7 @@ def build_index(
     elif not keep_tokens:
         shutil.rmtree(tokens_path, ignore_errors=True)
 
-    wall = time.time() - t0
+    wall = time.monotonic() - t0
     # bytes on disk per table (the reference advertises index size —
     # README.md:497 '< 5 MB for 40k movies'; this makes ours measurable)
     table_bytes: dict[str, int] = {}
@@ -1072,7 +1072,7 @@ def build_index(
             for f in fs
         )
         manifest["index_bytes_total"] = int(sum(manifest["table_bytes"].values()))
-        wall = time.time() - t0
+        wall = time.monotonic() - t0
         manifest["build_wall_sec"] = wall
         manifest["docs_per_sec"] = (n_docs_total / wall) if wall > 0 else 0.0
         manifest["aux_step_secs"] = aux_secs
@@ -1406,12 +1406,12 @@ def _build_prefixes(
     # the critical path only where the extra cores exist to run it,
     # which is exactly what N->4N scaling efficiency measures.
     def _meta_job():
-        s = time.time()
+        s = time.monotonic()
         dm = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
         dm.sortWithinPartitions("doc_id").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "doc_meta"))
         dm = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
         if aux_secs is not None:
-            aux_secs["doc_meta"] = round(time.time() - s, 2)
+            aux_secs["doc_meta"] = round(time.monotonic() - s, 2)
         return dm
 
     def _store_job():
@@ -1421,13 +1421,13 @@ def _build_prefixes(
         # joins this whole future first) — keep its fixed ~5-10 s of
         # driver work off the champions critical path, where it was a
         # direct N->4N efficiency tax
-        s2 = time.time()
+        s2 = time.monotonic()
         _write_doc_store(out_dir)
         if aux_secs is not None:
-            aux_secs["doc_store_write"] = round(time.time() - s2, 2)
+            aux_secs["doc_store_write"] = round(time.monotonic() - s2, 2)
 
     def _lists_job():
-        s = time.time()
+        s = time.monotonic()
         # ---- counts + capped positional rows
         counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
         small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
@@ -1448,7 +1448,7 @@ def _build_prefixes(
             .parquet(os.path.join(out_dir, "prefix_postings"))
         )
         if aux_secs is not None:
-            aux_secs["prefix_lists"] = round(time.time() - s, 2)
+            aux_secs["prefix_lists"] = round(time.monotonic() - s, 2)
 
     from concurrent.futures import ThreadPoolExecutor as _TPE
 
@@ -1731,10 +1731,10 @@ def _build_pattern_scores(
         .parquet(os.path.join(out_dir, "pattern_scores"))
     )
     if write_store:
-        _s = time.time()
+        _s = time.monotonic()
         _write_pattern_store(out_dir, cap_docs=cap_docs)
         if aux_secs is not None:
-            aux_secs["pattern_store_write"] = round(time.time() - _s, 2)
+            aux_secs["pattern_store_write"] = round(time.monotonic() - _s, 2)
 
 
 PATTERN_STORE_CAP = 600_000_000  # total (pattern, doc) pairs

@@ -155,9 +155,9 @@ docs = spark.read.parquet({inp!r})
 docs.count()  # warm file listing/footers outside the window
 # warm python workers (numpy/pandas imports) outside the window
 docs.limit(20000).mapInPandas(lambda it: (p[["doc_id"]] for p in it), "doc_id long").count()
-t0 = time.time()
+t0 = time.monotonic()
 m = build_index(spark, docs, os.path.join(scratch, "idx"), n_buckets={buckets})
-wall = time.time() - t0
+wall = time.monotonic() - t0
 spark.stop()
 # keep the manifest for step-level attribution, drop the bulk
 os.makedirs(os.path.join({repo!r}, "_work"), exist_ok=True)
@@ -315,7 +315,11 @@ def main() -> None:
             "swings inflate both walls of a pair together and cancel in "
             "the ratio — the paired-design summary the alternation "
             "exists for); the marginal-median ratio and the min-wall "
-            "lower envelope are reported alongside with every raw wall"
+            "lower envelope are reported alongside with every raw wall; "
+            "ALL walls use time.monotonic() — this host's wall clock "
+            "(time.time()) STEPS by hundreds of seconds mid-run (observed: "
+            "a manifest whose sequential step marks sum past a later "
+            "time.time() reading), which silently poisoned earlier pairs"
         ),
     }
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:

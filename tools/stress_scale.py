@@ -42,11 +42,11 @@ def main() -> None:
             .persist()
         )
         docs.count()
-        t0 = time.time()
+        t0 = time.monotonic()
         m = build_index(
             spark, docs, out_dir, n_buckets=32, salts=8, short_precompute=True
         )
-        result["build_wall_sec"] = round(time.time() - t0, 1)
+        result["build_wall_sec"] = round(time.monotonic() - t0, 1)
         result["docs_per_sec"] = round(n_docs / result["build_wall_sec"], 1)
         result["index_mb"] = round(m["index_bytes_total"] / 1e6)
         result["aux_step_secs"] = m["aux_step_secs"]
@@ -56,32 +56,32 @@ def main() -> None:
     from infidex_spark.query.rerank import RerankExecutor
 
     r = IndexReader(out_dir)
-    t0 = time.time()
+    t0 = time.monotonic()
     r.sq_meta()
-    result["sq_meta_load_sec"] = round(time.time() - t0, 3)
+    result["sq_meta_load_sec"] = round(time.monotonic() - t0, 3)
     ex = QueryExecutor(r)
     q_times: dict[str, dict] = {}
     for q in ["th", "an", "a b", "qz", "xq", "the of and", "redemption shank"]:
-        t0 = time.time()
+        t0 = time.monotonic()
         ex.search(q, 10)
-        first = time.time() - t0
-        t0 = time.time()
+        first = time.monotonic() - t0
+        t0 = time.monotonic()
         ex.search(q, 10)
         q_times[q] = {
             "first_ms": round(first * 1000, 1),
-            "warm_ms": round((time.time() - t0) * 1000, 1),
+            "warm_ms": round((time.monotonic() - t0) * 1000, 1),
         }
     result["queries"] = q_times
 
     rr = RerankExecutor(IndexReader(out_dir))
-    t0 = time.time()
+    t0 = time.monotonic()
     rr.search("quick fox", 10)
-    cold = time.time() - t0
-    t0 = time.time()
+    cold = time.monotonic() - t0
+    t0 = time.monotonic()
     rr.search("quick fox", 10)
     result["rerank_quick_fox"] = {
         "cold_ms": round(cold * 1000, 1),
-        "warm_ms": round((time.time() - t0) * 1000, 1),
+        "warm_ms": round((time.monotonic() - t0) * 1000, 1),
     }
     result["loadavg_end"] = os.getloadavg()
     print(json.dumps(result))
