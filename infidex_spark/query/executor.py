@@ -22,6 +22,7 @@ import zlib
 import numpy as np
 import pyarrow.compute as pc
 import pyarrow.dataset as ds
+import pyarrow.parquet as pq
 
 from infidex_spark.build.codec import BLOCK_SIZE, decode_postings
 from infidex_spark.kernel.bm25 import compute_idf, term_max_score, term_score
@@ -141,6 +142,96 @@ def _short_query_precedence_vector(titles, q: str) -> np.ndarray:
     prec += titles.str.startswith(q).to_numpy() * 2
     prec += (titles.str.strip() == q).to_numpy() * 8
     return prec
+
+
+class _KeyedPointReader:
+    """Exact point reads over a parquet table whose files are each sorted
+    by a string key column (hive-partitioned or flat).
+
+    Loads every file's key column + row-group offsets once — an in-RAM
+    sorted dictionary, the columnar analogue of the reference's FST term
+    dictionary (Indexing/Fst/* in the reference points terms at postings
+    offsets; here the sorted key column points probes at exact parquet
+    row groups). fetch() then reads ONLY the row groups that actually
+    contain probed keys, through cached file handles — no false-positive
+    file reads (footer [min,max] stats cannot tell which of several
+    interleaved sorted files owns a key) and no O(table) filter scans
+    (pyarrow <=16 does not prune row groups on isin filters).
+
+    Falls back (load() -> None) when the key count or file count exceeds
+    the budget, a file is not key-sorted, or metadata is unreadable —
+    callers keep their filtered-scan path for those layouts."""
+
+    MAX_ROWS = 4_000_000
+    MAX_FILES = 512
+
+    def __init__(self, dataset, key_col: str):
+        self._dataset = dataset
+        self._key = key_col
+        self._files: list | None | bool = False  # False = not loaded yet
+
+    def load(self):
+        if self._files is not False:
+            return self._files
+        files: list = []
+        rows = 0
+        try:
+            frs = list(self._dataset.get_fragments())
+            if len(frs) > self.MAX_FILES:
+                frs = None
+            if frs is not None:
+                for fr in frs:
+                    pf = pq.ParquetFile(fr.path)
+                    md = pf.metadata
+                    counts = [
+                        md.row_group(i).num_rows
+                        for i in range(md.num_row_groups)
+                    ]
+                    rows += int(sum(counts))
+                    if rows > self.MAX_ROWS:
+                        files = None
+                        break
+                    karr = pf.read(columns=[self._key])[
+                        self._key
+                    ].to_numpy(zero_copy_only=False)
+                    if karr.size > 1 and not bool(
+                        np.all(karr[:-1] <= karr[1:])
+                    ):
+                        files = None
+                        break
+                    files.append((pf, karr, np.cumsum([0] + counts)))
+            else:
+                files = None
+        except OSError:
+            files = None
+        self._files = files
+        return files
+
+    def fetch(self, keys, cols: list[str]):
+        """Arrow tables that together hold every row whose key is probed
+        (same-row-group neighbours ride along — callers filter); None
+        when exact reads are unavailable for this layout."""
+        files = self.load()
+        if files is None:
+            return None
+        probe = np.array(sorted(set(keys)), dtype=object)
+        out = []
+        for pf, karr, goff in files:
+            if karr.size == 0:
+                continue
+            lo = np.searchsorted(karr, probe, side="left")
+            hi = np.searchsorted(karr, probe, side="right")
+            gis: set[int] = set()
+            for l_, h_ in zip(lo, hi):
+                if h_ > l_:  # key present; groups covering [l_, h_)
+                    g0 = int(np.searchsorted(goff, l_, side="right")) - 1
+                    g1 = int(np.searchsorted(goff, h_ - 1, side="right")) - 1
+                    gis.update(range(g0, g1 + 1))
+            if gis:
+                out.append(
+                    pf.read_row_groups(sorted(gis), columns=cols)
+                )
+        return out
 
 
 # Dense scatter-add accumulator budget for short-query aggregation: the
@@ -629,15 +720,30 @@ class IndexReader:
         return out
 
     def prewarm_postings_meta(self) -> None:
-        """Load the parquet-stats term dictionary for every postings
-        bucket up front (fragment listing + footer metadata + per-group
-        term min/max). This is store-open work — the reference likewise
-        loads its FST term dictionary at index open, not on the first
-        query — and it moves ~50 ms of footer reads off the first
-        search's critical path. A few KB per bucket."""
+        """Load the postings term dictionary for every bucket up front:
+        the exact per-file term column where the budget allows (plus the
+        parquet footer stats as fallback metadata). This is store-open
+        work — the reference likewise loads its FST term dictionary at
+        index open, not on the first query — and it moves the one-time
+        footer/dictionary reads off the first search's critical path."""
         try:
             for b in range(self.n_buckets):
-                self._postings_bucket_meta(b)
+                if self._postings_bucket_terms(b) is None:
+                    self._postings_bucket_meta(b)
+            if self._wm_words is not None:
+                self._wm_point = _KeyedPointReader(self._wm_words, "word")
+                self._wm_point.load()
+            if self._prefixes is not None:
+                self._prefix_point = _KeyedPointReader(
+                    self._prefixes, "prefix"
+                )
+                self._prefix_point.load()
+            # pre-spawn the read pool's threads: lazy creation would land
+            # ~10 ms of thread.start() on the first cold query
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = self._read_pool = ThreadPoolExecutor(max_workers=8)
+            list(pool.map(int, range(16)))
         except Exception:
             pass  # point reads fall back to filtered dataset scans
 
@@ -709,19 +815,106 @@ class IndexReader:
         cache[b] = entry
         return entry
 
+    # exact-term-dictionary budgets: the shingle vocabulary is bounded in
+    # practice (sizes=[3] saturates at ~10^6 grams regardless of corpus
+    # size), so the full term column fits comfortably in driver RAM; the
+    # caps below are a backstop for pathological vocabularies / readers
+    # over hundreds of segments (they fall back to footer-stats pruning)
+    TERM_DICT_MAX_ROWS = 4_000_000
+    TERM_DICT_MAX_FILES = 512
+
+    def _postings_bucket_terms(self, b: int):
+        """EXACT in-RAM term dictionary for one postings bucket: per
+        file, (open ParquetFile, sorted term column, row-group start
+        offsets). The build's postings Exchange sub-splits each bucket by
+        xxhash64(term)%4, so a bucket dir holds ~4 term-sorted files with
+        interleaved term ranges: footer [min,max] stats alone cannot tell
+        which file owns a probed term and 3/4 of stats-selected reads are
+        false positives. The term column pins the exact (file, row group)
+        per term — this is the reference's FST term dictionary (term ->
+        postings offset), realised as a sorted column + searchsorted.
+        Returns None (stats/scan fallback) when the vocabulary or file
+        count exceeds the budget, a file's rows are not term-sorted
+        (legacy layout), or metadata is unreadable."""
+        cache = getattr(self, "_pb_terms", None)
+        if cache is None:
+            cache = self._pb_terms = {}
+            self._term_dict_rows_left = self.TERM_DICT_MAX_ROWS
+            self._term_dict_files_left = self.TERM_DICT_MAX_FILES
+        entry = cache.get(b, False)
+        if entry is not False:
+            return entry
+        fridx = self._postings_frag_index()
+        entry = [] if fridx is not None else None
+        if fridx is not None:
+            for fr in fridx.get(b, []):
+                try:
+                    pf = pq.ParquetFile(fr.path)
+                    md = pf.metadata
+                    counts = [
+                        md.row_group(i).num_rows
+                        for i in range(md.num_row_groups)
+                    ]
+                    total = int(sum(counts))
+                    if (
+                        total > self._term_dict_rows_left
+                        or self._term_dict_files_left <= 0
+                    ):
+                        entry = None
+                        break
+                    tarr = pf.read(columns=["term"])["term"].to_numpy(
+                        zero_copy_only=False
+                    )
+                    if tarr.size > 1 and not bool(
+                        np.all(tarr[:-1] <= tarr[1:])
+                    ):
+                        entry = None
+                        break
+                    self._term_dict_rows_left -= total
+                    self._term_dict_files_left -= 1
+                    goff = np.cumsum([0] + counts)
+                    entry.append((pf, tarr, goff))
+                except OSError:
+                    entry = None
+                    break
+        cache[b] = entry
+        return entry
+
     def _read_term_rows(self, missing: list[str], cols: list[str]):
         """Arrow tables that together contain every postings row for
         `missing` (plus same-row-group neighbours): group the probes by
-        bucket, select the row groups whose term stats interval can hold
-        a probed term, and read them all in ONE FileSystemDataset scan.
-        Buckets without usable stats fall back to one filtered dataset
-        scan."""
+        bucket, pin each term's exact (file, row group) via the in-RAM
+        term dictionary, and read those groups through the cached file
+        handles. Buckets without a term dictionary use footer-stats
+        interval pruning in one FileSystemDataset scan; buckets without
+        usable stats fall back to one filtered dataset scan."""
         by_bucket: dict[int, list[str]] = {}
         for t in missing:
             by_bucket.setdefault(term_bucket(t, self.n_buckets), []).append(t)
+        direct: list[tuple] = []  # (ParquetFile, [row group ids])
         to_scan = []
         fallback: list[str] = []
         for b, tms in by_bucket.items():
+            tinfo = self._postings_bucket_terms(b)
+            if tinfo is not None:
+                probe = np.array(sorted(tms), dtype=object)
+                for pf, tarr, goff in tinfo:
+                    if tarr.size == 0:
+                        continue
+                    pos = np.searchsorted(tarr, probe)
+                    ok = pos < tarr.size
+                    if not ok.any():
+                        continue
+                    hit = np.zeros(probe.size, dtype=bool)
+                    hit[ok] = tarr[pos[ok]] == probe[ok]
+                    rows = pos[hit]
+                    if rows.size == 0:
+                        continue
+                    gis = np.unique(
+                        np.searchsorted(goff, rows, side="right") - 1
+                    )
+                    direct.append((pf, [int(g) for g in gis]))
+                continue
             meta = self._postings_bucket_meta(b)
             if meta is None:
                 fallback.extend(tms)
@@ -738,6 +931,25 @@ class IndexReader:
                 if gis:
                     to_scan.append(fr.subset(row_group_ids=gis))
         tbls = []
+        file_cols = [c for c in cols if c != "bucket"]
+        if len(direct) > 3:
+            # pyarrow releases the GIL per read: overlapping the per-file
+            # group reads hides the ~0.8 ms fixed cost per file (a cold
+            # multi-gram probe touches ~16 files)
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = getattr(self, "_read_pool", None)
+            if pool is None:
+                pool = self._read_pool = ThreadPoolExecutor(max_workers=8)
+            tbls.extend(
+                pool.map(
+                    lambda d: d[0].read_row_groups(d[1], columns=file_cols),
+                    direct,
+                )
+            )
+        else:
+            for pf, gis in direct:
+                tbls.append(pf.read_row_groups(gis, columns=file_cols))
         if to_scan:
             fsd = ds.FileSystemDataset(
                 to_scan,
@@ -773,8 +985,26 @@ class IndexReader:
         got = cache.get(prefix)
         if got is not None:
             return got
-        tbl = self._prefixes.to_table(filter=ds.field("prefix") == prefix)
-        if tbl.num_rows == 0:
+        pr = getattr(self, "_prefix_point", None)
+        if pr is None:
+            pr = self._prefix_point = _KeyedPointReader(
+                self._prefixes, "prefix"
+            )
+        tbls = pr.fetch([prefix], ["prefix", "n_docs", "doc_ids"])
+        if tbls is None:
+            tbl = self._prefixes.to_table(
+                filter=ds.field("prefix") == prefix
+            )
+        else:
+            import pyarrow as pa
+
+            tbls = [t for t in tbls if t.num_rows]
+            tbl = (
+                pa.concat_tables(tbls).filter(pc.field("prefix") == prefix)
+                if tbls
+                else None
+            )
+        if tbl is None or tbl.num_rows == 0:
             out = (0, None)
         else:
             n = tbl["n_docs"][0].as_py()
@@ -992,16 +1222,32 @@ class IndexReader:
 
     def wm_word_docs(self, words: list[str]) -> dict[str, np.ndarray]:
         """WordMatcher word-level postings (B9): word -> sorted internal
-        doc ids, independent of gram stop demotion. Point fetch on the
-        word-sorted wm_words table (row-group min/max pruning)."""
+        doc ids, independent of gram stop demotion. Exact point fetch on
+        the word-sorted wm_words table via the in-RAM key dictionary,
+        with a filtered dataset scan as the layout fallback."""
         if self._wm_words is None or not words:
             return {}
-        buckets = sorted({term_bucket(w, self._wm_buckets) for w in words})
-        tbl = self._wm_words.to_table(
-            columns=["word", "doc_ids"],
-            filter=ds.field("bucket").isin(buckets) & ds.field("word").isin(words),
-        )
-        return _list_rows_to_numpy(tbl, "word", "doc_ids")
+        pr = getattr(self, "_wm_point", None)
+        if pr is None:
+            pr = self._wm_point = _KeyedPointReader(self._wm_words, "word")
+        tbls = pr.fetch(words, ["word", "doc_ids"])
+        if tbls is None:
+            buckets = sorted(
+                {term_bucket(w, self._wm_buckets) for w in words}
+            )
+            tbl = self._wm_words.to_table(
+                columns=["word", "doc_ids"],
+                filter=ds.field("bucket").isin(buckets)
+                & ds.field("word").isin(words),
+            )
+            return _list_rows_to_numpy(tbl, "word", "doc_ids")
+        wset = set(words)
+        out: dict[str, np.ndarray] = {}
+        for tbl in tbls:
+            for k, v in _list_rows_to_numpy(tbl, "word", "doc_ids").items():
+                if k in wset:
+                    out[k] = v
+        return out
 
     def pattern_scores(self, pattern: str) -> tuple[np.ndarray, np.ndarray] | None:
         """Precomputed SearchShortQuery pattern aggregate: (sorted internal
