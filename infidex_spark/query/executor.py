@@ -1922,14 +1922,23 @@ class QueryExecutor:
                         and getattr(self.r, "_doc_meta", None) is not None:
                     # champion lists (build-time full answers) first: one
                     # dict lookup when the query was precomputed and the
-                    # stored depth covers k; live path otherwise (and
-                    # always under tombstones — deletes reorder the list)
+                    # stored depth covers k. Tombstones FILTER the stored
+                    # row (the reference serves short queries from its
+                    # in-RAM champion lists regardless of deletes,
+                    # ShortQueryResolver.cs:18-31): scores anchor to the
+                    # full-corpus max in the live path too, so surviving
+                    # entries keep their stored order AND values — filter
+                    # + truncate is bit-identical to live. A doc outside
+                    # the stored depth scores below every stored entry,
+                    # so the filtered row stays exact while it still
+                    # covers k (complete rows cover any k).
                     got = None
                     get_topk = getattr(self.r, "sq_topk", None)
-                    if get_topk is not None and not getattr(
-                        self.r, "tombstones", frozenset()
-                    ):
+                    if get_topk is not None:
                         row = get_topk(q)
+                        tomb = getattr(self.r, "tombstones", frozenset())
+                        if row is not None and tomb:
+                            row = [(d, s) for d, s in row if d not in tomb]
                         if row is not None and (
                             k <= len(row)
                             or getattr(
@@ -2162,13 +2171,19 @@ class QueryExecutor:
             rep = np.full(uk.size, np.iinfo(np.int64).max, dtype=np.int64)
             np.minimum.at(rep, kinv, uids)
 
+        # normalization anchors to the FULL corpus max, then deletes are
+        # filtered — the reference's champion-list model (deleted docs
+        # drop out of the served list; surviving scores do not move,
+        # ShortQueryResolver.cs:18-31). This also makes stored champion
+        # rows exactly servable under tombstones: filter + truncate is
+        # bit-identical to this live path.
+        max_score = float(scores.max())
         tomb = getattr(r, "tombstones", frozenset())
         if tomb:
             live = ~np.isin(uk, np.fromiter(tomb, dtype=np.int64, count=len(tomb)))
             uk, scores, rep = uk[live], scores[live], rep[live]
             if uk.size == 0:
                 return []
-        max_score = float(scores.max())
         prec = self._short_precedence(q, rep)
         norm = scores / max_score if max_score > 0 else scores / 255.0
         finals = (prec + norm).astype(np.float32)

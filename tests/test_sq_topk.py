@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pytest
 
 from infidex_spark.build.indexer import build_index
@@ -176,16 +177,64 @@ def test_complete_rows_serve_any_k(spark, tmp_path_factory):
     ]
 
 
-def test_tombstones_disable_table(sq_index):
+def test_tombstones_filter_champions(sq_index):
+    """Champion rows SERVE under tombstones (r6, VERDICT r5 Missing #4):
+    deleted docs are filtered out of the stored row — the reference
+    serves short queries from its in-RAM champion lists regardless of
+    deletes (ShortQueryResolver.cs:18-31) — and the result is
+    bit-identical to the live path, which anchors normalization to the
+    full-corpus max for exactly this reason."""
+    r = IndexReader(sq_index)
+    served = [q for q in QUERIES if len(q) == 2 and r.sq_topk(q) is not None]
+    for q in served[:3]:
+        row = r2 = IndexReader(sq_index)
+        row = r2.sq_topk(q)
+        # tombstone the rank-1 doc AND the highest-normalized doc (the
+        # hardest case: the old code renormalized and had to gate off)
+        top_norm = max(row, key=lambda t: t[1] - int(np.ceil(t[1]) - 1))
+        victims = frozenset({int(row[0][0]), int(top_norm[0])})
+        r2.tombstones = victims
+        ex = QueryExecutor(r2)
+        got = ex.search(q, 10)
+        assert all(d not in victims for d, _ in got)
+        live_reader = IndexReader(sq_index)
+        live_reader._sq_topk_map = {}  # champion-miss -> live path
+        live_reader.tombstones = victims
+        ex_live = QueryExecutor(live_reader)
+        assert got == ex_live.search(q, 10), q  # bit-exact incl. scores
+
+
+def test_tombstones_champion_path_actually_serves(sq_index):
+    """With enough surviving stored entries, the tombstoned answer comes
+    from the champion table, not a silent live fallback."""
+    r = IndexReader(sq_index)
+    served = [q for q in QUERIES if len(q) == 2 and r.sq_topk(q) is not None]
+    q = served[0]
+    victim = int(r.sq_topk(q)[0][0])
+    r.tombstones = frozenset({victim})
+    ex = QueryExecutor(r)
+    ex._search_short_query = None  # live path would raise TypeError
+    got = ex.search(q, 10)
+    assert len(got) == 10 and all(d != victim for d, _ in got)
+
+
+def test_tombstones_fall_back_when_row_exhausted(sq_index):
+    """Deleting so many stored docs that fewer than k survive must fall
+    back to the live path (the filtered row no longer covers k) and
+    still exclude every victim."""
     r = IndexReader(sq_index)
     served = [q for q in QUERIES if len(q) == 2 and r.sq_topk(q) is not None]
     q = served[0]
     row = r.sq_topk(q)
-    victim = int(row[0][0])
-    r.tombstones = frozenset({victim})
+    victims = frozenset(int(d) for d, _ in row[: len(row) - 5])
+    r.tombstones = victims
     ex = QueryExecutor(r)
     got = ex.search(q, 10)
-    assert all(d != victim for d, _ in got)
+    assert all(d not in victims for d, _ in got)
+    live_reader = IndexReader(sq_index)
+    live_reader._sq_topk_map = {}
+    live_reader.tombstones = victims
+    assert got == QueryExecutor(live_reader).search(q, 10)
 
 
 def test_slim_doc_meta_title_rows(sq_index):
