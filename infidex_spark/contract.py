@@ -651,6 +651,30 @@ def q_sq_topk_champions(spark, sf_dir):
             )
         for rank, (k, s) in enumerate(got):
             rows.append((q, rank + 1, int(k), round(float(s), 4)))
+    # r6: champion serving under TOMBSTONES (filter + truncate) must also
+    # equal the live path bit-for-bit — delete the rank-1 and max-norm
+    # docs of one served champion row and re-compare both paths
+    probe = next(
+        (q for q in ("th", "fo", "an", "ba") if IndexReader(idx_dir).sq_topk(q)),
+        None,
+    )
+    if probe is not None:
+        base_row = IndexReader(idx_dir).sq_topk(probe)
+        victims = frozenset(
+            {int(base_row[0][0]), int(max(base_row, key=lambda t: t[1])[0])}
+        )
+        rt = IndexReader(idx_dir)
+        rt.tombstones = victims
+        rl = IndexReader(idx_dir)
+        rl._sq_topk_map = {}
+        rl.tombstones = victims
+        got_t = QueryExecutor(rt).search(probe, 10)
+        want_t = QueryExecutor(rl).search(probe, 10)
+        if got_t != want_t or any(k in victims for k, _ in got_t):
+            raise AssertionError(
+                f"tombstoned champion path diverged for {probe!r}: "
+                f"{got_t[:3]} vs {want_t[:3]}"
+            )
     return spark.createDataFrame(
         rows, "q string, rank int, doc_key long, final double"
     )
