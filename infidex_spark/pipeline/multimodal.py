@@ -46,7 +46,7 @@ def _fake_decode_image(payload: bytes, dim: int = 16) -> np.ndarray:
     derives a feature vector from the payload's sha256. Replace with a real
     decoder (PIL -> resize -> model) in production; the Spark plumbing
     around it is unchanged. Availability re-checked per round (last:
-    2026-08-17, round 5): PIL / torchvision / soundfile / librosa / cv2 /
+    2026-08-18, round 6): PIL / torchvision / soundfile / librosa / cv2 /
     imageio / av all absent from this sandbox and there is no network to
     install them, so the stub stands."""
     h = hashlib.sha256(payload or b"").digest()
