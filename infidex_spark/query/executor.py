@@ -744,6 +744,13 @@ class IndexReader:
 
             pool = self._read_pool = ThreadPoolExecutor(max_workers=8)
             list(pool.map(int, range(16)))
+            # open the remaining lazy one-time stores here too — mmap'd
+            # doc/pattern stores and the short-query meta columns are
+            # store-open costs (the reference mmaps its segments at index
+            # open), not part of any query's latency
+            self._open_doc_store()
+            self._open_ps_store()
+            self.sq_meta()
         except Exception:
             pass  # point reads fall back to filtered dataset scans
 
