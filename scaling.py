@@ -73,6 +73,7 @@ class _HostMonitor:
         self.foreign = foreign_cores
         self.samples: list[float] = []
         self.load1: list[float] = []
+        self.canary_mbps: list[float] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -92,6 +93,10 @@ class _HostMonitor:
 
     def _run(self) -> None:
         prev = self._read_stat()
+        import numpy as _np
+
+        canary_buf = _np.random.rand(8_000_000)  # 64 MB streaming probe
+        tick = 0
         while not self._stop.wait(5.0):
             cur = self._read_stat()
             busy = []
@@ -105,6 +110,18 @@ class _HostMonitor:
             with open("/proc/loadavg") as f:
                 self.load1.append(float(f.read().split()[0]))
             prev = cur
+            # memory-bandwidth canary, every 4th sample (~20 s): the
+            # clean-CPU pairs still show ±40% wall variance — invisible
+            # VM-neighbor memory/disk pressure. The canary rate makes
+            # that pressure OBSERVABLE per leg (reported, not used for
+            # discards — the discard rule is pre-declared on CPU only).
+            tick += 1
+            if tick % 4 == 0:
+                t0 = time.monotonic()
+                float((canary_buf * 1.0001).sum())
+                dt = time.monotonic() - t0
+                if dt > 0:
+                    self.canary_mbps.append(round(128 / dt, 0))
 
     def __enter__(self):
         self._thread.start()
@@ -115,12 +132,19 @@ class _HostMonitor:
         self._thread.join(timeout=10)
 
     def stats(self) -> dict:
-        return {
+        out = {
             "foreign_busy_mean": round(statistics.mean(self.samples), 4) if self.samples else 0.0,
             "foreign_busy_max": round(max(self.samples), 4) if self.samples else 0.0,
             "load1_mean": round(statistics.mean(self.load1), 2) if self.load1 else 0.0,
             "load1_max": round(max(self.load1), 2) if self.load1 else 0.0,
         }
+        if self.canary_mbps:
+            out["bw_canary_mbps"] = {
+                "median": round(statistics.median(self.canary_mbps), 0),
+                "min": round(min(self.canary_mbps), 0),
+                "max": round(max(self.canary_mbps), 0),
+            }
+        return out
 
 _CHILD = r"""
 import json, os, shutil, sys, time
