@@ -41,6 +41,32 @@ QUERIES = {
 }
 
 
+def host_mem_canary() -> dict:
+    """~1 s probe of the host's memory subsystem, reported alongside every
+    latency number: this VM's neighbors swing the memory pipe by 5-13x on
+    a tens-of-minutes timescale (BASELINE.md round-6 scaling section), and
+    first-touch page faults have been observed at ~170 us/page — any cold
+    latency measured in such a phase is host, not code. stream_mbps reads
+    an already-faulted 64 MB buffer (bandwidth); alloc_touch_mbps writes a
+    FRESH 64 MB allocation (fault path). Healthy host: both in the
+    thousands. Degraded phase: alloc_touch collapses first."""
+    import numpy as np
+
+    buf = np.ones(8 << 20, dtype=np.float64)  # 64 MB, faulted by ones()
+    float(buf.sum())  # ensure faulted before the timed read
+    t0 = time.monotonic()
+    float(buf.sum())  # pure read pass, no output allocation
+    stream = 64 / max(time.monotonic() - t0, 1e-9)
+    t0 = time.monotonic()
+    fresh = np.empty(8 << 20, dtype=np.float64)
+    fresh[::512] = 1.0  # touch every 4 KB page once
+    alloc = 64 / max(time.monotonic() - t0, 1e-9)
+    return {
+        "stream_mbps": round(stream, 0),
+        "alloc_touch_mbps": round(alloc, 0),
+    }
+
+
 def main() -> None:
     # stdout must be EXACTLY one JSON line (the driver json-parses it),
     # but the Spark JVM inherits fd 1 and writes progress bars/log lines
@@ -67,6 +93,7 @@ def main() -> None:
     from infidex_spark.webtext import generate_webtext, with_doc_ids
 
     loadavg_start = os.getloadavg()
+    canary_start = host_mem_canary()
     spark = get_spark(app_name="infidex-bench", cpus=cpus)
     wt = generate_webtext(spark, n_docs, seed=42)
     docs = with_doc_ids(wt).selectExpr("doc_id", "doc_id as doc_key", "text").persist()
@@ -166,6 +193,8 @@ def main() -> None:
         "build_wall_reps": build_walls,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "host_mem_canary_start": canary_start,
+        "host_mem_canary_end": host_mem_canary(),
         "build_precompute_sec": build_precompute_sec,
         "rerank_p50_sec": rr_p50,
         "rerank_cold_sec": rr_cold,

@@ -622,6 +622,7 @@ class IndexReader:
             )
         self._dl_cache: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
         self._key_order: np.ndarray | None = None  # lazy argsort by doc_key
+        self._keys_sorted: np.ndarray | None = None  # dkeys[_key_order]
         self._term_cache: dict[str, TermPostings | object] = {}
         self._term_cache_size = 0
         if self.total_docs <= self.DOC_CACHE_LIMIT:
@@ -1594,8 +1595,13 @@ class IndexReader:
                     self._key_order = np.arange(dkeys.size, dtype=np.int64)
                 else:
                     self._key_order = np.argsort(dkeys, kind="stable")
+                # cache the key-sorted projection: an n_docs-sized gather
+                # per call is new-page allocation on every search (8 MB at
+                # 1M docs — first-touch faults dominate under memory
+                # pressure); build it once with the permutation
+                self._keys_sorted = dkeys[self._key_order]
             order = self._key_order
-            keys_sorted = dkeys[order]
+            keys_sorted = self._keys_sorted
             want = np.asarray(sorted(set(keys)), dtype=np.int64)
             lo = np.searchsorted(keys_sorted, want, "left")
             hi = np.searchsorted(keys_sorted, want, "right")
