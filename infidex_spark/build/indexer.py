@@ -300,64 +300,176 @@ def _encode_sorted_stream(n_buckets: int):
     return run
 
 
-PARTIAL_SCHEMA = T.StructType(
+# fused tokenize->partial-encode output: term partials (kind 0: term,
+# partial df, n_docs, varint payload + tf weights) + one per-partition
+# doc-length sidecar row (kind 1, the
+# ALL-terms dl sum per doc — stop-term contributions are subtracted
+# later, once the stop set exists, by decoding just the stop partials)
+FUSED_SCHEMA = T.StructType(
     [
-        T.StructField("term", T.StringType(), False),
-        T.StructField("df", T.LongType(), False),
-        T.StructField("n_docs", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), False),
-        T.StructField("weights", T.BinaryType(), False),
+        T.StructField("kind", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), True),
+        T.StructField("df", T.LongType(), True),
+        T.StructField("n_docs", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("weights", T.BinaryType(), True),
+        T.StructField("doc_ids", T.ArrayType(T.LongType()), True),
+        T.StructField("dls", T.ArrayType(T.LongType()), True),
     ]
 )
 
 
-def _partial_encode_stream():
-    """Map-side partial posting encode (the scaling-defining stage): each
-    INPUT partition of (term, packed, dfc) rows is sorted locally and
-    every term run is compressed into a varint-delta partial blob, so the
-    term-bucket shuffle ships ~1.5-2.5 B/posting instead of the ~40 B/row
-    a posting-granular Exchange pays. Shuffle disk bandwidth is shared
-    across cores (it does not scale from N to 4N on a node), so shrinking
-    shuffle bytes is what preserves build scaling efficiency; the decode +
-    merge CPU this adds on the reduce side is Python/numpy work that DOES
-    scale with cores. Zipf skew note: a hot term contributes one partial
-    per input partition (bounded rows), a tail term degenerates to one
-    ~posting-sized row — the hot head, which dominates posting volume, is
-    exactly where the compression wins."""
+def _fused_tokenize_partials(
+    sizes: tuple[int, ...],
+    start_pad: int,
+    synonym_map,
+    cap: int,
+    fields: list[tuple[str, int]] | None = None,
+):
+    """ONE Arrow stage: tokenize + map-side partial posting encode.
+
+    The round-6 pipeline materialized a per-(doc, term) token table
+    (35M rows at 200k docs) that crossed the JVM<->Python boundary twice
+    — out of the tokenizer, into the partial encoder — plus a cache
+    materialization in between; the boundary transfer, not the numpy
+    work (~0.2 s/partition), dominated both stages (~10 s wall each way
+    at sf1.0). Fusing them keeps the posting-granular data inside one
+    Python stage and emits only vocabulary-sized compressed partials
+    (~30x fewer rows, ~20x fewer bytes) plus one per-partition doc->
+    total-dl sidecar row, so doc_stats needs no token table either
+    (guide §4.1: control how many columns/rows cross; §2.3: shuffle
+    fewer bytes). Grouping/encoding is identical to the former
+    _partial_encode_stream — the merge stage and every downstream table
+    are bit-identical (asserted by the build parity tests)."""
+    from infidex_spark.kernel.normalize import normalize_series
+    from infidex_spark.build.tokenizer import (
+        tokenize_batch_frames,
+        tokenize_fields_batch,
+    )
+    from infidex_spark.kernel.engine import FIELD_DELIM
+
+    fcols = [c for c, _ in fields] if fields is not None else None
+    widxs = [int(w) for _, w in fields] if fields is not None else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        terms_l, packed_l, dfc_l = [], [], []
+        codes_l: list[np.ndarray] = []
+        packed_l: list[np.ndarray] = []
+        dfc_l: list[np.ndarray] = []
+        cats_l: list[np.ndarray] = []  # per-frame term dictionaries
+        dl_ids_l: list[np.ndarray] = []
+        dl_l: list[np.ndarray] = []
+        offset = 0
+
+        def add_frame(doc_ids, doc_idx, term_col, tf, dfc, dl_acc) -> None:
+            nonlocal offset
+            if isinstance(term_col.dtype, pd.CategoricalDtype):
+                codes = term_col.cat.codes.to_numpy().astype(np.int64)
+                cats = term_col.cat.categories.to_numpy()
+            else:
+                codes, cats = pd.factorize(term_col.to_numpy())
+                codes = codes.astype(np.int64)
+                cats = np.asarray(cats, dtype=object)
+            codes_l.append(codes + offset)
+            offset += len(cats)
+            cats_l.append(cats)
+            packed_l.append((doc_ids[doc_idx] << np.int64(8)) | tf)
+            dfc_l.append(dfc)
+            # bincount (not add.at): exact int sums via float64 (tf sums
+            # stay far below 2^53), ~10x faster than unbuffered add.at
+            dl_acc += np.bincount(
+                doc_idx, weights=tf.astype(np.float64), minlength=dl_acc.size
+            ).astype(np.int64)
+
         for pdf in batches:
-            if len(pdf):
-                terms_l.append(pdf["term"].to_numpy())
-                packed_l.append(pdf["packed"].to_numpy())
-                dfc_l.append(pdf["dfc"].to_numpy())
-        if not terms_l:
+            ids = pdf["doc_id"].to_numpy()
+            dl_acc = np.zeros(len(pdf), dtype=np.int64)
+            if fields is None:
+                texts = normalize_series(pdf["text"].fillna("")).str.lower()
+                if synonym_map is not None and synonym_map.has_mappings:
+                    texts = synonym_map.canonicalize_series(texts)
+                for frame in tokenize_batch_frames(
+                    texts, sizes=sizes, start_pad=start_pad, prenormalized=True
+                ):
+                    occ = frame["occ"].to_numpy()
+                    tf = np.minimum(occ, cap)
+                    add_frame(
+                        ids, frame["doc_idx"].to_numpy(), frame["term"],
+                        tf, occ - tf + 1, dl_acc,
+                    )
+            else:
+                fvals = [pdf[c].fillna("").astype(str) for c in fcols]
+                raw = (
+                    fvals[0].str.cat(fvals[1:], sep=FIELD_DELIM)
+                    if len(fcols) > 1
+                    else fvals[0]
+                )
+                bpos = np.zeros((len(pdf), len(fcols)), dtype=np.int64)
+                acc = np.zeros(len(pdf), dtype=np.int64)
+                for j in range(len(fcols) - 1):
+                    acc += fvals[j].str.len().to_numpy(dtype=np.int64) + 1
+                    bpos[:, j + 1] = acc
+                out = tokenize_fields_batch(
+                    raw, bpos, widxs, sizes, start_pad, synonym_map
+                )
+                if len(out):
+                    add_frame(
+                        ids, out["doc_idx"].to_numpy(), out["term"],
+                        out["tf"].to_numpy(), out["dfc"].to_numpy(), dl_acc,
+                    )
+            dl_ids_l.append(ids)
+            dl_l.append(dl_acc)
+
+        if not codes_l:
+            if dl_ids_l:
+                yield pd.DataFrame(
+                    {
+                        "kind": np.array([1], dtype=np.int32),
+                        "term": [None], "df": [None], "n_docs": [None],
+                        "payload": [None], "weights": [None],
+                        "doc_ids": [np.concatenate(dl_ids_l).tolist()],
+                        "dls": [np.concatenate(dl_l).tolist()],
+                    }
+                )
             return
-        terms = np.concatenate(terms_l)
+        # unify the per-frame term dictionaries (vocab-sized, not
+        # posting-sized), then group exactly as the partial encoder did
+        all_cats = np.concatenate(cats_l)
+        ucodes, uterms = pd.factorize(all_cats)
+        codes = ucodes[np.concatenate(codes_l)]
         packed = np.concatenate(packed_l)
         dfc = np.concatenate(dfc_l)
-        # contiguity, not lexicographic order, is all the grouping needs:
-        # factorize to int codes (O(n) hash) and sort (code, packed) —
-        # far cheaper than comparing Python strings in the sort
-        codes, uniques = pd.factorize(terms)
         order = np.lexsort((packed, codes))
-        codes, packed, dfc = codes[order], packed[order], dfc[order]
-        change = np.empty(codes.size, dtype=bool)
+        codes_s, packed_s, dfc_s = codes[order], packed[order], dfc[order]
+        change = np.empty(codes_s.size, dtype=bool)
         change[0] = True
-        change[1:] = codes[1:] != codes[:-1]
+        change[1:] = codes_s[1:] != codes_s[:-1]
         starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], codes.size)
-        packed_lists = [packed[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+        ends = np.append(starts[1:], codes_s.size)
+        packed_lists = [
+            packed_s[s:e] for s, e in zip(starts.tolist(), ends.tolist())
+        ]
         enc = encode_postings_batch(packed_lists)
-        dfs = np.add.reduceat(dfc, starts)
+        dfs = np.add.reduceat(dfc_s, starts)
+        n = starts.size
         yield pd.DataFrame(
             {
-                "term": np.asarray(uniques, dtype=object)[codes[starts]],
+                "kind": np.zeros(n, dtype=np.int32),
+                "term": np.asarray(uterms, dtype=object)[codes_s[starts]],
                 "df": dfs.astype(np.int64),
                 "n_docs": np.asarray(enc["n_docs"], dtype=np.int64),
                 "payload": enc["payload"],
                 "weights": enc["weights"],
+                "doc_ids": [None] * n,
+                "dls": [None] * n,
+            }
+        )
+        yield pd.DataFrame(
+            {
+                "kind": np.array([1], dtype=np.int32),
+                "term": [None], "df": [None], "n_docs": [None],
+                "payload": [None], "weights": [None],
+                "doc_ids": [np.concatenate(dl_ids_l).tolist()],
+                "dls": [np.concatenate(dl_l).tolist()],
             }
         )
 
@@ -516,9 +628,25 @@ def build_index(
     aux_starts: dict[str, float] = {}
     _t_build0 = time.monotonic()
 
+    # FAIR scheduler pools (session.py sets spark.scheduler.mode=FAIR):
+    # jobs on the build's serial critical chain — the main thread plus
+    # the phase-2 tail (pattern_scores -> sq_topk -> sq_fuzzy) — run in
+    # 'build-chain'; the wide overlapped side jobs run in 'build-aux' so
+    # they back-fill idle slots instead of starving the chain (local
+    # properties are per-thread; python threads pin to JVM threads).
+    _CHAIN_JOBS = {
+        "pattern_scores", "pattern_store_write", "sq_topk", "sq_fuzzy",
+        "sq_sidecar",
+    }
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build-chain")
+
     def _timed(name: str, fn, *a, **kw):
         s = time.monotonic()
         aux_starts.setdefault(name, round(s - _t_build0, 2))
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool",
+            "build-chain" if name in _CHAIN_JOBS else "build-aux",
+        )
         try:
             return fn(*a, **kw)
         finally:
@@ -568,9 +696,19 @@ def build_index(
     # build's parallelism far below the cluster and bloat per-task
     # memory. Rebalance up front when the input arrives under-split; at
     # real corpus sizes inputs carry plenty of partitions and this no-ops.
+    #
+    # The rebalanced result is PERSISTED: ~6 consumer jobs (tokenize,
+    # prefixes, word_family, doc_meta, doc_stats, sq sidecar) each scan
+    # docs, and without the cache every one re-pays the repartition's
+    # map side — a serial read of the caller's (often single-partition,
+    # AQE-coalesced) input per job. One materialization, many balanced
+    # readers; unpersisted at build end. Only taken on the under-split
+    # path, so well-partitioned production inputs are unaffected.
     min_parts = spark.sparkContext.defaultParallelism
+    docs_repart_handle = None
     if docs.rdd.getNumPartitions() < min_parts:
-        docs = docs.repartition(min_parts)
+        docs = docs.repartition(min_parts).persist()
+        docs_repart_handle = docs
 
     if html_col is not None:
         # front of the pipeline: derive the text column from html:binary
@@ -599,7 +737,22 @@ def build_index(
     if tokens_storage == "auto":
         tokens_storage = "parquet" if (resume or bucket_groups > 1) else "memory"
     tokens_path = os.path.join(out_dir, "tokens")
-    if fields is not None:
+    # sortmerge (default) runs the FUSED tokenize->partial-encode stage:
+    # the materialized table is vocabulary-granular compressed partials
+    # (+ per-partition dl sidecars), not the posting-granular token rows
+    # — ~30x fewer rows over the Python boundary and into the cache. The
+    # salted-agg strategy aggregates raw packed token rows with
+    # collect_list, so it keeps the legacy token table.
+    fused_mode = strategy != "salted-agg"
+    if fused_mode:
+        sel_cols = ["doc_id"] + (
+            [c for c, _ in fields] if fields is not None else ["text"]
+        )
+        tokens = docs.select(*sel_cols).mapInPandas(
+            _fused_tokenize_partials(sizes, start_pad, synonym_map, cap, fields),
+            schema=FUSED_SCHEMA,
+        )
+    elif fields is not None:
         tokens = tokenize_docs_fields(docs, fields, sizes, start_pad, synonym_map)
     else:
         tokens = tokenize_docs(docs, sizes, start_pad, synonym_map).withColumn(
@@ -686,7 +839,15 @@ def build_index(
     # 100-term sample for the manifest — at 10^12 docs nearly the whole
     # vocabulary clears any fixed threshold, so an unbounded head collect
     # is a scale-killer (VERDICT r1 'What's wrong' #6).
-    term_df = tokens.groupBy("term").agg(F.sum("dfc").alias("df"))
+    if fused_mode:
+        # partials are vocabulary-granular: their per-partition dfs sum
+        # to exactly the token-level sum(dfc)
+        partials_all = tokens.filter(F.col("kind") == 0).select(
+            "term", "df", "n_docs", "payload", "weights"
+        )
+        term_df = partials_all.groupBy("term").agg(F.sum("df").alias("df"))
+    else:
+        term_df = tokens.groupBy("term").agg(F.sum("dfc").alias("df"))
     stop_dir = os.path.join(out_dir, "stop_terms")
     term_df.filter(F.col("df") > stop_term_limit).select("term").write.mode(
         "overwrite"
@@ -707,7 +868,13 @@ def build_index(
         if n_stop
         else []
     )
-    if n_stop:
+    if fused_mode:
+        live = (
+            partials_all.join(stop_tdf, "term", "left_anti")
+            if n_stop
+            else partials_all
+        )
+    elif n_stop:
         live = tokens.join(stop_tdf, "term", "left_anti")
     else:
         live = tokens
@@ -735,7 +902,50 @@ def build_index(
     # submits here; prefixes/word_family are already running (above)
 
     def _doc_stats_job() -> float:
-        dl_df = live.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        if fused_mode:
+            # dl per doc = (all-terms dl sidecar) - (stop terms' tf,
+            # decoded from just the stop partials). Both legs are exact
+            # integer sums, identical to summing tf over live token rows.
+            dl_all = (
+                tokens.filter(F.col("kind") == 1)
+                .select(F.explode(F.arrays_zip("doc_ids", "dls")).alias("z"))
+                .select(
+                    F.col("z.doc_ids").alias("doc_id"),
+                    F.col("z.dls").alias("dl"),
+                )
+            )
+            if n_stop:
+                from infidex_spark.build.codec import decode_postings
+
+                def decode_neg(
+                    batches: Iterator[pd.DataFrame],
+                ) -> Iterator[pd.DataFrame]:
+                    idl: list[np.ndarray] = []
+                    wl: list[np.ndarray] = []
+                    for pdf in batches:
+                        for p, w, nn in zip(
+                            pdf["payload"], pdf["weights"], pdf["n_docs"]
+                        ):
+                            i_, w_ = decode_postings(p, w, int(nn))
+                            idl.append(i_)
+                            wl.append(w_)
+                    if not idl:
+                        return
+                    ids = np.concatenate(idl)
+                    ws = np.concatenate(wl).astype(np.float64)
+                    u, inv = np.unique(ids, return_inverse=True)
+                    sums = np.bincount(inv, weights=ws).astype(np.int64)
+                    yield pd.DataFrame({"doc_id": u, "dl": -sums})
+
+                stop_parts = partials_all.join(
+                    stop_tdf, "term", "left_semi"
+                ).select("payload", "weights", "n_docs")
+                dl_all = dl_all.unionByName(
+                    stop_parts.mapInPandas(decode_neg, "doc_id long, dl long")
+                )
+            dl_df = dl_all.groupBy("doc_id").agg(F.sum("dl").alias("dl"))
+        else:
+            dl_df = live.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         doc_stats = (
             docs.select("doc_id", "doc_key")
             .join(dl_df, "doc_id", "left")
@@ -754,8 +964,10 @@ def build_index(
     # runs on primitive long arrays (no struct boxing), one array_sort at
     # the end orders by doc_id (tf sits in the low bits; doc_ids are
     # unique per term so ordering is unaffected).
-    packed = live.withColumn(
-        "packed", F.shiftleft(F.col("doc_id"), 8) + F.col("tf")
+    packed = (
+        live.withColumn("packed", F.shiftleft(F.col("doc_id"), 8) + F.col("tf"))
+        if not fused_mode
+        else None
     )
     # crc32 (not xxhash64): the query driver computes the same bucket in
     # pure Python (zlib.crc32) for partition pruning on point lookups.
@@ -816,11 +1028,22 @@ def build_index(
             )
             .select("term", "packed", "dfc")
         )
+    elif fused_mode:
+        # live partials ARE the map-side-encoded stream: the fused
+        # tokenize stage already produced them, so the group loop goes
+        # straight to the term-bucket shuffle + reduce-side merge
+        src = live
     else:
         src = packed.select("term", "packed", "dfc")
 
     bucket_metrics = []
     ck_futs = []
+    # checkpoints append to ONE directory: concurrent append jobs share
+    # the committer's _temporary dir and a finishing job deletes it under
+    # the other (latent under FIFO, exposed by FAIR's true overlap) — a
+    # single-worker pool keeps the writes off the critical path AND
+    # strictly ordered
+    ck_pool = ThreadPoolExecutor(max_workers=1)
     for group in groups:
         todo = [b for b in group if b not in done_buckets]
         if not todo:
@@ -856,7 +1079,6 @@ def build_index(
                 # bucket column from the term itself, so file layout is
                 # unchanged.
                 src.filter(bucket_expr.isin(todo))
-                .mapInPandas(_partial_encode_stream(), schema=PARTIAL_SCHEMA)
                 .repartition(
                     max(len(todo), 1) * 4,
                     bucket_expr,
@@ -900,7 +1122,7 @@ def build_index(
             ).withColumn("completed_at", F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())))
             ck.write.mode("append").parquet(ckpt_dir)
 
-        ck_futs.append(pool.submit(_timed, "checkpoints", _ck_job))
+        ck_futs.append(ck_pool.submit(_timed, "checkpoints", _ck_job))
         bucket_metrics.append({"buckets": todo, "wall_sec": elapsed})
         done_buckets.update(todo)
 
@@ -970,11 +1192,20 @@ def build_index(
         f_store = pool.submit(
             _timed, "pattern_store_write", _write_pattern_store, out_dir
         )
-        f_sqt = pool.submit(
-            _timed, "sq_topk", _build_sq_topk, spark, out_dir,
-            os.path.join(out_dir, "postings"), sizes, start_pad,
-            side_fut=f_side,
-        )
+
+        def _sq_topk_job():
+            # wm_words/sq_words1 completeness unlocks the fold's exact
+            # word-table member fast path (no doc_meta re-explode);
+            # word_family historically finishes right as pattern_scores
+            # does, so this wait is free on the critical path
+            if fut_word_family is not None:
+                fut_word_family.result()
+            _build_sq_topk(
+                spark, out_dir, os.path.join(out_dir, "postings"),
+                sizes, start_pad, side_fut=f_side,
+            )
+
+        f_sqt = pool.submit(_timed, "sq_topk", _sq_topk_job)
     if fut_prefixes is not None:
         fut_prefixes.result()
     if fut_word_family is not None:
@@ -993,6 +1224,7 @@ def build_index(
     if do_ps:
         f_store.result()
     pool.shutdown()
+    ck_pool.shutdown()
     if aux and slim_doc_meta:
         # last (sq_topk and the doc_store read the full columns): drop
         # the duplicate text columns from doc_meta
@@ -1002,6 +1234,8 @@ def build_index(
         tokens.unpersist()
     elif not keep_tokens:
         shutil.rmtree(tokens_path, ignore_errors=True)
+    if docs_repart_handle is not None:
+        docs_repart_handle.unpersist()
 
     wall = time.monotonic() - t0
     # bytes on disk per table (the reference advertises index size —
@@ -1407,6 +1641,9 @@ def _build_prefixes(
     # which is exactly what N->4N scaling efficiency measures.
     def _meta_job():
         s = time.monotonic()
+        # inner pool threads carry no inherited scheduler pool: keep all
+        # prefixes legs in build-aux (see build_index FAIR note)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build-aux")
         dm = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
         dm.sortWithinPartitions("doc_id").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "doc_meta"))
         dm = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
@@ -1428,18 +1665,80 @@ def _build_prefixes(
 
     def _lists_job():
         s = time.monotonic()
-        # ---- counts + capped positional rows
-        counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs"))
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build-aux")
+        # ---- counts + capped positional rows: the count agg stays (its
+        # shuffle is map-side-combined partials, tiny, and it keeps hot
+        # prefixes OUT of the list shuffle — at corpus scale a hot 1-char
+        # prefix is a one-partition skew bomb), but the collect_list +
+        # sort_array ObjectHashAggregate is replaced by a repartition +
+        # local (prefix, doc_id) sort feeding a streaming group collector
+        # — the same rows with no per-group agg buffers and no second
+        # full-width pass (guide §2.3: aggregate before you shuffle;
+        # §2.5: hot keys handled explicitly).
+        # prefix-count table is vocabulary-sized (tiny); persist it — it
+        # feeds the small-set broadcast twice plus the hot rows union
+        counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs")).persist()
         small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
-        lists = (
-            pairs.join(F.broadcast(small), "prefix", "left_semi")
-            .groupBy("prefix")
-            .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+
+        def collect_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pend_prefix = None
+            pend_ids: list[np.ndarray] = []
+
+            def emit(prefixes, id_lists) -> pd.DataFrame:
+                return pd.DataFrame(
+                    {
+                        "prefix": prefixes,
+                        "n_docs": np.fromiter(
+                            (i.size for i in id_lists),
+                            dtype=np.int64, count=len(id_lists),
+                        ),
+                        "doc_ids": [
+                            i.tolist() if i.size <= max_prefix_docs else None
+                            for i in id_lists
+                        ],
+                    }
+                )
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                prefixes = pdf["prefix"].to_numpy()
+                ids = pdf["doc_id"].to_numpy()
+                change = np.empty(len(prefixes), dtype=bool)
+                change[0] = True
+                change[1:] = prefixes[1:] != prefixes[:-1]
+                starts = np.flatnonzero(change)
+                ends = np.append(starts[1:], len(prefixes))
+                out_p, out_ids = [], []
+                for st, en in zip(starts.tolist(), ends.tolist()):
+                    p = prefixes[st]
+                    if pend_prefix is not None and p == pend_prefix:
+                        pend_ids.append(ids[st:en])
+                        continue
+                    if pend_prefix is not None:
+                        out_p.append(pend_prefix)
+                        out_ids.append(np.concatenate(pend_ids))
+                    pend_prefix, pend_ids = p, [ids[st:en]]
+                if out_p:
+                    yield emit(out_p, out_ids)
+            if pend_prefix is not None:
+                yield emit([pend_prefix], [np.concatenate(pend_ids)])
+
+        collected = (
+            pairs.select("prefix", "doc_id")
+            .join(F.broadcast(small), "prefix", "left_semi")
+            .repartition("prefix")
+            .sortWithinPartitions("prefix", "doc_id")
+            .mapInPandas(
+                collect_lists, "prefix string, n_docs long, doc_ids array<long>"
+            )
         )
-        final = counts.join(lists, "prefix", "left").select(
-            "prefix", "n_docs", "doc_ids"
+        hot = counts.filter(F.col("n_docs") > max_prefix_docs).select(
+            "prefix", "n_docs", F.lit(None).cast("array<long>").alias("doc_ids")
         )
-        final.sortWithinPartitions("prefix").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "prefixes"))
+        collected.unionByName(hot).write.mode("overwrite").options(
+            **POINT_READ_WRITE_OPTS
+        ).parquet(os.path.join(out_dir, "prefixes"))
         (
             pairs.join(F.broadcast(small), "prefix", "left_semi")
             .sortWithinPartitions("prefix")
@@ -1873,6 +2172,7 @@ def _sq_topk_fold(
     k: int,
     empty_schema: str,
     side_fut=None,
+    words_needed: list[str] | None = None,
 ) -> None:
     """Fold dataflow for _build_sq_topk: one packed repartition by q;
     per-q aggregation + precedence + top-k inside mapInPandas against
@@ -1909,24 +2209,88 @@ def _sq_topk_fold(
         )
     )
     # per-(query, token word) exact membership lists (1- and 2-char
-    # words; routed to every query that contains the word)
-    member_in = (
-        spark.read.parquet(os.path.join(out_dir, "doc_meta"))
-        .select(
-            "doc_id",
-            F.explode(F.split(F.col("words_text"), " ")).alias("w"),
+    # words; routed to every query that contains the word). These lists
+    # already exist on disk: word_family builds sq_words1 (1-char) and
+    # wm_words (2+-char) as per-word sorted distinct doc-id lists from
+    # the SAME normalize+split stream doc_meta.words_text comes from —
+    # so instead of re-exploding every document's word stream (a full
+    # doc_meta scan + distinct + collect_list shuffle), point-read the
+    # few hundred needed words from those tables (guide §2.4: remove
+    # shuffles outright; the isin filter reaches the word-sorted
+    # parquet's row-group stats). wm_words rows capped at max_list keep
+    # the TRUE n_docs, so truncated rows are detected exactly and only
+    # those words (none below ~1.25M matching docs) fall back to the
+    # explode plan.
+    word_tables = []
+    tables_ready = True
+    for tname in ("sq_words1", "wm_words"):
+        tpath = os.path.join(out_dir, tname)
+        # _SUCCESS gates completeness: a fold submitted while word_family
+        # is still writing must not read a partial table — without BOTH
+        # markers this falls back to the (always-correct) explode plan.
+        # A complete-but-empty table (no part files after a partitioned
+        # write of zero rows) has no inferable schema and holds nothing —
+        # counted ready, not readable.
+        if not (
+            os.path.isdir(tpath)
+            and os.path.exists(os.path.join(tpath, "_SUCCESS"))
+        ):
+            tables_ready = False
+            continue
+        if any(
+            f.endswith(".parquet") for _, _, fs in os.walk(tpath) for f in fs
+        ):
+            word_tables.append(
+                spark.read.parquet(tpath).select("word", "doc_ids", "n_docs")
+            )
+    member_legacy_words: list[str] = []
+    if tables_ready and word_tables and words_needed is not None:
+        msrc = word_tables[0]
+        for t in word_tables[1:]:
+            msrc = msrc.unionByName(t)
+        mneed = msrc.filter(F.col("word").isin(words_needed))
+        member_legacy_words = [
+            r.word
+            for r in mneed.filter(F.size("doc_ids") != F.col("n_docs"))
+            .select("word")
+            .distinct()
+            .collect()
+        ]
+        member_in = (
+            mneed.filter(F.size("doc_ids") == F.col("n_docs"))
+            .withColumnRenamed("word", "w")
+            .join(tok_map, "w")
+            .select(
+                "q", F.lit(2).alias("kind"), "doc_ids", nil_ai.alias("scores"),
+                nil_b.alias("payload"), nil_b.alias("weights"),
+                F.lit(0).cast("long").alias("pn"), "w",
+            )
         )
-        .filter(F.length("w").isin(1, 2))
-        .join(tok_map, "w")
-        .distinct()
-        .groupBy("q", "w")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
-        .select(
-            "q", F.lit(2).alias("kind"), "doc_ids", nil_ai.alias("scores"),
-            nil_b.alias("payload"), nil_b.alias("weights"),
-            F.lit(0).cast("long").alias("pn"), "w",
+    else:
+        member_in = None
+    if member_in is None or member_legacy_words:
+        legacy = (
+            spark.read.parquet(os.path.join(out_dir, "doc_meta"))
+            .select(
+                "doc_id",
+                F.explode(F.split(F.col("words_text"), " ")).alias("w"),
+            )
+            .filter(F.length("w").isin(1, 2))
         )
-    )
+        if member_in is not None:
+            legacy = legacy.filter(F.col("w").isin(member_legacy_words))
+        legacy = (
+            legacy.join(tok_map, "w")
+            .distinct()
+            .groupBy("q", "w")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+            .select(
+                "q", F.lit(2).alias("kind"), "doc_ids", nil_ai.alias("scores"),
+                nil_b.alias("payload"), nil_b.alias("weights"),
+                F.lit(0).cast("long").alias("pn"), "w",
+            )
+        )
+        member_in = legacy if member_in is None else member_in.unionByName(legacy)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from infidex_spark.build.codec import decode_postings
@@ -2180,6 +2544,7 @@ def _build_sq_topk(
         _sq_topk_fold(
             spark, out_dir, postings_path, ps, pat_map, base_map, tok_map,
             k, empty_schema, side_fut=side_fut,
+            words_needed=sorted({w for w, _ in tok_rows}),
         )
         return
 
@@ -2412,12 +2777,13 @@ def _build_sq_fuzzy(spark: SparkSession, out_dir: str, k: int = SQ_TOPK_K) -> No
         out_f: list[list[float]] = []
         out_c: list[bool] = []
         for pdf in batches:
-            for q in pdf["q"]:
-                res = ex._search_short_query(q, kk)
-                out_q.append(q)
-                out_k.append([int(d) for d, _ in res])
-                out_f.append([float(s) for _, s in res])
-                out_c.append(len(res) < kk)
+            for qs_list in pdf["qs"]:
+                for q in qs_list:
+                    res = ex._search_short_query(q, kk)
+                    out_q.append(q)
+                    out_k.append([int(d) for d, _ in res])
+                    out_f.append([float(s) for _, s in res])
+                    out_c.append(len(res) < kk)
         if out_q:
             yield pd.DataFrame(
                 {"q": out_q, "doc_keys": out_k, "finals": out_f, "complete": out_c}
@@ -2425,23 +2791,31 @@ def _build_sq_fuzzy(spark: SparkSession, out_dir: str, k: int = SQ_TOPK_K) -> No
 
     # The per-query cost distribution is extremely skewed: a
     # rare-first-char query ('xa' at 1M docs: ~9 s) triggers the broad
-    # fuzzy fallback while the p90 is ~0.15 s, so a hash repartition
-    # can land the monster task late and extend the job by its full
-    # duration. LPT schedule instead: ONE query per partition, ordered
-    # most-expensive-first (cost rises as the first char's term count
-    # falls — fewer exact matches forces the fuzzy expansion — and as
-    # the second char's term count grows — more expansion terms to
-    # fetch), so the long tasks start at t=0 and the many short ones
-    # pack in behind them. Spark launches tasks in partition order.
-    # Per-task reader-open cost stays one per python worker via
-    # _SQ_EVAL_CACHE regardless of task count.
+    # fuzzy fallback while the p90 is ~0.15 s. The round-6 shape (ONE
+    # query per partition, LPT order) handled the skew but paid one
+    # mapInPandas task setup per query — at alphabet^2 queries the task
+    # overhead, not the evaluation, dominated the job (~8.6 s wall for
+    # ~3 s of query compute at 200k docs). Pack the queries into
+    # ~2x-cores bins by greedy LPT instead (cost model: expensive when
+    # the first char's term count is small — fewer exact matches forces
+    # the fuzzy expansion): the monster queries still land alone at the
+    # front while the cheap tail shares task overhead. Per-worker
+    # reader-open cost stays one per python worker via _SQ_EVAL_CACHE.
     cands.sort(key=lambda q: (n_terms_by_char.get(q[0], 0), -n_terms_by_char.get(q[1], 0)))
+    nbins = max(1, min(len(cands), 2 * spark.sparkContext.defaultParallelism))
+    bins: list[list[str]] = [[] for _ in range(nbins)]
+    loads = [0.0] * nbins
+    for q in cands:  # already most-expensive-first
+        cost = 1.0 / (1.0 + n_terms_by_char.get(q[0], 0))
+        i = loads.index(min(loads))
+        bins[i].append(q)
+        loads[i] += cost
+    order = sorted(range(nbins), key=lambda i: -loads[i])
+    rows = [(bins[i],) for i in order if bins[i]]
     (
         spark.createDataFrame(
-            spark.sparkContext.parallelize(
-                [(q,) for q in cands], numSlices=len(cands)
-            ),
-            "q string",
+            spark.sparkContext.parallelize(rows, numSlices=len(rows)),
+            "qs array<string>",
         )
         .mapInPandas(eval_part, empty_schema)
         .write.mode("overwrite")

@@ -411,6 +411,25 @@ class TermPostings:
         ids, tfs = self.doc_ids, self.tfs
         if ids.size == 0:
             return np.zeros(docs.size, dtype=bool), np.zeros(0, dtype=np.float32)
+        if docs.size >= 2048 and ids.size >= 1024:
+            # dense-range position map: for big probe sets against dense
+            # lists (hot-term conjunctions), one linear scatter + gather
+            # beats per-probe binary search ~2-4x (branchless, sequential
+            # passes). Gated by range (<= 32 MB map) and density (>= 1/8)
+            # so sparse/huge id spaces keep the searchsorted path; result
+            # is bit-identical either way.
+            base = int(ids[0])
+            rng = int(ids[-1]) - base + 1
+            if rng <= 8_000_000 and ids.size * 8 >= rng:
+                pm = np.full(rng, -1, dtype=np.int32)
+                pm[ids - base] = np.arange(ids.size, dtype=np.int32)
+                i0 = int(np.searchsorted(docs, base))
+                i1 = int(np.searchsorted(docs, base + rng))
+                hit = np.zeros(docs.size, dtype=bool)
+                p = pm[docs[i0:i1] - base]
+                h = p >= 0
+                hit[i0:i1] = h
+                return hit, tfs[p[h]]
         pos = np.searchsorted(ids, docs)
         pos_c = np.clip(pos, 0, ids.size - 1)
         hit = ids[pos_c] == docs
@@ -634,6 +653,13 @@ class IndexReader:
                 tbl["doc_key"].to_numpy()[order],
                 tbl["dl"].to_numpy().astype(np.float32)[order],
             )
+        ids0 = self._dl_cache[0] if self._dl_cache is not None else None
+        # dense iff the sorted id column is exactly [base, base+n)
+        self._dl_dense = bool(
+            ids0 is not None
+            and ids0.size
+            and int(ids0[-1]) - int(ids0[0]) + 1 == ids0.size
+        )
 
     # ------------------------------------------------------------- fetch
 
@@ -1025,9 +1051,18 @@ class IndexReader:
 
     def fetch_variant_terms(self, token: str) -> list[str]:
         """All dictionary terms within plain Levenshtein distance 1 of
-        token, via the symmetric-delete table."""
+        token, via the symmetric-delete table. Cached per token: the
+        variants table is immutable for the reader's lifetime and the
+        parquet point read costs ~ms — the dominant warm cost of every
+        fuzzy-expanded query (same rationale as _term_cache)."""
         if self._variants is None:
             return []
+        cache = getattr(self, "_variant_cache", None)
+        if cache is None:
+            cache = self._variant_cache = {}
+        got = cache.get(token)
+        if got is not None:
+            return list(got)
         probes = [token] + [token[:i] + token[i + 1 :] for i in range(len(token))]
         tbl = self._variants.to_table(filter=ds.field("variant").isin(probes))
         cands: set[str] = set()
@@ -1037,7 +1072,11 @@ class IndexReader:
         # substitution); confirm with the exact metric
         from infidex_spark.kernel.engine import levenshtein_le1
 
-        return sorted(t for t in cands if levenshtein_le1(token, t))
+        out = sorted(t for t in cands if levenshtein_le1(token, t))
+        if len(cache) >= 50_000:
+            cache.clear()
+        cache[token] = out
+        return list(out)
 
     def short_query_rows(self, prefix: str):
         """(doc_id, first_pos, n_ws, n_exact, first_exact, n_tokens,
@@ -1083,6 +1122,15 @@ class IndexReader:
         """(dl float32, doc_key int64) for given sorted doc_ids."""
         if self._dl_cache is not None:
             ids, keys, dls = self._dl_cache
+            if self._dl_dense and ids.size:
+                # contiguous id space [base, base+n): position IS the
+                # offset — no per-candidate binary search (the common
+                # case; build ids are dense by contract)
+                base = int(ids[0])
+                pos = doc_ids - base
+                if pos.size and (int(pos.min()) < 0 or int(pos.max()) >= ids.size):
+                    raise KeyError("unknown doc_ids in index")
+                return dls[pos], keys[pos]
             pos = np.searchsorted(ids, doc_ids)
             pos = np.clip(pos, 0, ids.size - 1)
             ok = ids[pos] == doc_ids
@@ -2425,7 +2473,22 @@ class QueryExecutor:
 
     def _fuzzy_union(self, token: str) -> TermPostings | None:
         """LD1 virtual term: union of matching terms' doc lists, tf=1
-        (VectorModel.ExpandMissingTerm semantics)."""
+        (VectorModel.ExpandMissingTerm semantics). The built union is
+        cached per token — it is a pure function of the reader's
+        immutable postings, and rebuilding it (concat + unique over the
+        matched lists) was a per-call cost on every fuzzy query."""
+        cache = getattr(self, "_fuzzy_union_cache", None)
+        if cache is None:
+            cache = self._fuzzy_union_cache = {}
+        if token in cache:
+            return cache[token]
+        tp = self._fuzzy_union_build(token)
+        if len(cache) >= 2048:
+            cache.clear()
+        cache[token] = tp
+        return tp
+
+    def _fuzzy_union_build(self, token: str) -> TermPostings | None:
         matches = self.r.fetch_variant_terms(token)
         if not matches:
             return None

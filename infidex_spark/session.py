@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR scheduling: the index build overlaps its serial critical
+        # chain (tokenize->postings->pattern_scores->sq tables) with
+        # wide aux jobs (prefixes, word_family, doc_stats) submitted
+        # first from a thread pool. Under the default FIFO scheduler the
+        # earlier-submitted aux jobs hold every task slot and the chain
+        # STARVES — the wall clock of the build is the chain's, so
+        # backfilling must never come at its expense. Pools are assigned
+        # per job in build_index (build-chain vs build-aux); with equal
+        # weights the chain gets slots the moment it has runnable tasks
+        # (guide §2.6: overlap independent jobs — FIFO back-fill is
+        # right only when the later job is the less urgent one).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Arrow batch size bounds pandas-UDF memory per task; 10k rows of
         # web text ~ tens of MB per batch.
