@@ -636,7 +636,9 @@ def build_index(
     # properties are per-thread; python threads pin to JVM threads).
     _CHAIN_JOBS = {
         "pattern_scores", "pattern_store_write", "sq_topk", "sq_fuzzy",
-        "sq_sidecar",
+        # doc_stats feeds the sq sidecar, which gates the sq_topk fold —
+        # it is on the chain whenever the short-query precompute runs
+        "sq_sidecar", "doc_stats",
     }
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build-chain")
 
@@ -804,18 +806,24 @@ def build_index(
     # sq_topk chain depends on those two tables, not on the champions/
     # prefix-lists tail of the same job
     meta_done = threading.Event()
-    fut_prefixes = (
+    words_done = threading.Event()
+    # word_family submits FIRST: within the build-aux pool jobs run
+    # FIFO, and its wm_words/sq_words1 legs gate the sq_topk fold's
+    # word-table member path (words_done), while nothing on the critical
+    # chain waits for the prefixes job until the sq_fuzzy workers open
+    # the finished index much later
+    fut_word_family = (
         pool.submit(
-            _timed, "prefixes", _build_prefixes, docs, out_dir,
-            max_prefix_docs, synonym_map, aux_secs, meta_done,
+            _timed, "word_family", _build_word_family, docs, out_dir,
+            synonym_map, stop_term_limit, words_done,
         )
         if aux
         else None
     )
-    fut_word_family = (
+    fut_prefixes = (
         pool.submit(
-            _timed, "word_family", _build_word_family, docs, out_dir,
-            synonym_map, stop_term_limit,
+            _timed, "prefixes", _build_prefixes, docs, out_dir,
+            max_prefix_docs, synonym_map, aux_secs, meta_done,
         )
         if aux
         else None
@@ -1195,11 +1203,17 @@ def build_index(
 
         def _sq_topk_job():
             # wm_words/sq_words1 completeness unlocks the fold's exact
-            # word-table member fast path (no doc_meta re-explode);
-            # word_family historically finishes right as pattern_scores
-            # does, so this wait is free on the critical path
-            if fut_word_family is not None:
-                fut_word_family.result()
+            # word-table member fast path (no doc_meta re-explode). Wait
+            # on the mid-job event (set right after those two tables
+            # land), not the whole word_family future — its words/
+            # words_rev/word_variants tail is irrelevant here and was
+            # worth ~4 s of critical path
+            while fut_word_family is not None and not words_done.wait(
+                timeout=1.0
+            ):
+                if fut_word_family.done():
+                    fut_word_family.result()  # propagate failures
+                    break
             _build_sq_topk(
                 spark, out_dir, os.path.join(out_dir, "postings"),
                 sizes, start_pad, side_fut=f_side,
@@ -1329,7 +1343,8 @@ _CHAMPION_LIST_SIZE = 64  # ShortQueryResolver.ChampionListSize
 
 
 def _build_word_family(
-    docs: DataFrame, out_dir: str, synonym_map=None, max_list: int = 1_250_000
+    docs: DataFrame, out_dir: str, synonym_map=None, max_list: int = 1_250_000,
+    words_done: threading.Event | None = None,
 ) -> None:
     """One normalize+split pass feeding every word-level table:
 
@@ -1473,6 +1488,11 @@ def _build_word_family(
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "sq_words1"))
     )
+    if words_done is not None:
+        # wm_words + sq_words1 are on disk: the sq_topk fold's exact
+        # member fast path needs only these two tables, not the
+        # words/words_rev/word_variants tail below
+        words_done.set()
     # words df (distinct-doc counts: pairs are already deduped per doc)
     word_df_tbl = pairs.groupBy("word").agg(F.count("*").alias("df"))
     word_df_tbl.orderBy("word").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "words"))
@@ -1861,6 +1881,76 @@ def _symmetric_delete_table(terms: DataFrame, out_path: str) -> None:
     out.sortWithinPartitions("variant").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(out_path)
 
 
+_PATTERN_RANK_LOCAL_CAP = 5_000_000  # vocab rows; above -> window plan
+
+
+def _pattern_rank_local(postings_path: str, cap_terms: int, spark):
+    """Driver-side (term, pattern) rank filter for _build_pattern_scores,
+    or None when the vocabulary exceeds the cap. Replicates the window
+    plan exactly: for plen 2 and 3, the lexicographically first cap_terms
+    terms per prefix pattern (UTF-8 byte order == code-point order, so
+    pandas sorting matches Spark's binary string ordering), then the
+    plen-3 reachability + delta-only filters."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from infidex_spark.kernel.tokenize import DELIMITERS, START_PAD
+
+    total = 0
+    for dp, _, fs in os.walk(postings_path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+                if total > _PATTERN_RANK_LOCAL_CAP:
+                    return None
+    empty = pd.DataFrame({"term": pd.Series([], dtype=object),
+                          "pattern": pd.Series([], dtype=object)})
+    if total == 0:
+        return spark.createDataFrame(empty, "term string, pattern string")
+    tcol = (
+        pads.dataset(postings_path, partitioning="hive")
+        .to_table(columns=["term"])["term"]
+        .combine_chunks()
+    )
+    order = pc.sort_indices(tcol)
+    s = tcol.take(order).to_pandas()
+    lens = s.str.len().to_numpy()
+    delim_class = "[" + "".join(
+        "\\" + c if c in "\\^]-[" else c for c in DELIMITERS
+    ) + "]"
+    frames = [empty]
+    for plen in (2, 3):
+        t = s[lens >= plen]
+        pat = t.str[:plen]
+        pat_np = pat.to_numpy()
+        if pat_np.size == 0:
+            continue
+        change = np.empty(pat_np.size, dtype=bool)
+        change[0] = True
+        change[1:] = pat_np[1:] != pat_np[:-1]
+        gstarts = np.flatnonzero(change)
+        gidx = np.cumsum(change) - 1
+        rank = np.arange(pat_np.size) - gstarts[gidx]
+        keep = rank < cap_terms
+        tk = t[keep]
+        pk = pat[keep]
+        if plen == 3:
+            reachable = pk.str.startswith(START_PAD) | pk.str.contains(
+                delim_class, regex=True
+            )
+            keep2 = reachable & (
+                (tk.str.len() > plen) | pk.str.startswith(START_PAD)
+            )
+            tk, pk = tk[keep2], pk[keep2]
+        frames.append(
+            pd.DataFrame({"term": tk.to_numpy(), "pattern": pk.to_numpy()})
+        )
+    return spark.createDataFrame(
+        pd.concat(frames, ignore_index=True), "term string, pattern string"
+    )
+
+
 def _build_pattern_scores(
     spark: SparkSession,
     postings_path: str,
@@ -1907,49 +1997,61 @@ def _build_pattern_scores(
     from pyspark.sql.window import Window
 
     posts = spark.read.parquet(postings_path)
-    pats = None
-    for plen in (2, 3):
-        p = (
-            posts.select("term")
-            .filter(F.length("term") >= plen)
-            .withColumn("pattern", F.substring("term", 1, plen))
-        )
-        w = Window.partitionBy("pattern").orderBy("term")
-        p = p.withColumn("rn", F.row_number().over(w)).filter(
-            F.col("rn") <= cap_terms
-        )
-        if plen == 3:
-            # Reachability: ShortQueryProcessor patterns are pad^k+q[:3-k]
-            # and ' '+q for queries whose words are all < 3 chars, so a
-            # 3-char pattern is either pad-prefixed or contains a
-            # delimiter within its 3 chars (the first query word ends by
-            # position 2). Pure-word 3-prefixes ('abc') are never probed
-            # — drop their groups (most of the delta volume).
-            from infidex_spark.kernel.tokenize import DELIMITERS, START_PAD
-
-            delim_class = "[" + "".join(
-                "\\" + c if c in "\\^]-[" else c for c in DELIMITERS
-            ) + "]"
-            reachable = F.col("pattern").startswith(START_PAD) | F.col(
-                "pattern"
-            ).rlike(delim_class)
-            # delta-only: the base gram (term == pattern) contributes
-            # via its own postings row at query time. EXCEPT pad-prefixed
-            # patterns ('￿￿f', '￿fo'): those groups hold only the 1-2
-            # doc-head grams per doc, so full materialization is nearly
-            # free and saves the probe a base decode.
-            p = p.filter(
-                reachable
-                & (
-                    (F.length("term") > plen)
-                    | F.col("pattern").startswith(START_PAD)
-                )
+    # The (term, pattern) rank filter is a pure function of the sorted
+    # term dictionary. The vocabulary saturates around ~10^6 grams, so
+    # below a generous cap the ranking runs DRIVER-SIDE over the term
+    # column (one footer-pruned parquet read + vectorized prefix
+    # grouping) instead of two full postings scans + two row_number
+    # windows — which the previous plan additionally evaluated twice
+    # (once for the broadcast-size count, once under the join). The
+    # window plan remains as the fallback for outsized vocabularies.
+    pats = _pattern_rank_local(postings_path, cap_terms, spark)
+    if pats is None:
+        pats = None
+        for plen in (2, 3):
+            p = (
+                posts.select("term")
+                .filter(F.length("term") >= plen)
+                .withColumn("pattern", F.substring("term", 1, plen))
             )
-        p = p.select("term", "pattern")
-        pats = p if pats is None else pats.unionByName(p)
-    # the rank filter is vocabulary-sized (<= 2 rows/term): broadcast it
-    # below 10M rows so the payload side never shuffles for the join
-    if pats.count() <= 10_000_000:
+            w = Window.partitionBy("pattern").orderBy("term")
+            p = p.withColumn("rn", F.row_number().over(w)).filter(
+                F.col("rn") <= cap_terms
+            )
+            if plen == 3:
+                # Reachability: ShortQueryProcessor patterns are pad^k+q[:3-k]
+                # and ' '+q for queries whose words are all < 3 chars, so a
+                # 3-char pattern is either pad-prefixed or contains a
+                # delimiter within its 3 chars (the first query word ends by
+                # position 2). Pure-word 3-prefixes ('abc') are never probed
+                # — drop their groups (most of the delta volume).
+                from infidex_spark.kernel.tokenize import DELIMITERS, START_PAD
+
+                delim_class = "[" + "".join(
+                    "\\" + c if c in "\\^]-[" else c for c in DELIMITERS
+                ) + "]"
+                reachable = F.col("pattern").startswith(START_PAD) | F.col(
+                    "pattern"
+                ).rlike(delim_class)
+                # delta-only: the base gram (term == pattern) contributes
+                # via its own postings row at query time. EXCEPT pad-prefixed
+                # patterns ('￿￿f', '￿fo'): those groups hold only the 1-2
+                # doc-head grams per doc, so full materialization is nearly
+                # free and saves the probe a base decode.
+                p = p.filter(
+                    reachable
+                    & (
+                        (F.length("term") > plen)
+                        | F.col("pattern").startswith(START_PAD)
+                    )
+                )
+            p = p.select("term", "pattern")
+            pats = p if pats is None else pats.unionByName(p)
+        # the rank filter is vocabulary-sized (<= 2 rows/term): broadcast
+        # it below 10M rows so the payload side never shuffles for the join
+        if pats.count() <= 10_000_000:
+            pats = F.broadcast(pats)
+    else:
         pats = F.broadcast(pats)
     joined = posts.select("term", "payload", "weights", "n_docs").join(pats, "term")
 
