@@ -1069,7 +1069,12 @@ def build_index(
                 # change, so the arbitrary hash order across terms is fine)
                 .sortWithinPartitions(F.xxhash64("term"), "term", "packed")
                 .mapInPandas(_encode_sorted_stream(n_buckets), schema=POSTINGS_SCHEMA)
-                .sortWithinPartitions("term")
+                # bucket must LEAD the sort (same reason as the sortmerge
+                # branch below): partitionBy("bucket") otherwise inserts
+                # its own sort-by-bucket that destroys the term order, so
+                # salted-agg-built indexes silently never got the exact
+                # point-read fast path (ADVICE r6)
+                .sortWithinPartitions("bucket", "term")
             )
         else:
             part_df = (

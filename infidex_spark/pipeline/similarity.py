@@ -197,14 +197,21 @@ def ivf_assign(
             return pd.Series(np.argmax(Xn @ CnT, axis=1).astype(np.int32))
 
         return emb.withColumn("cell", assign_udf(F.col(vec_col)))
-    best_cell = F.lit(0)
-    best_sim = F.lit(-2.0)
-    for c, row in enumerate(centroids):
-        sim = _cosine_expr(vec_col, [float(x) for x in row])
-        better = sim > best_sim
-        best_cell = F.when(better, F.lit(c)).otherwise(best_cell)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return emb.withColumn("cell", best_cell)
+    # argmax as array_max over (sim, -cell) structs: lexicographic struct
+    # max picks the highest sim, ties the LOWEST cell (highest -cell) —
+    # exactly the first-max-wins of the previous chained-when fold, whose
+    # expression tree repeated every earlier dot product inside every
+    # later when() (O(k^2 * dim) nodes; at 16 cells x 64 dims the
+    # optimizer+codegen cost of that tree, not execution, dominated the
+    # query at ~4 s/run). This tree is O(k * dim) and plans in ~0.1 s.
+    entries = [
+        F.struct(
+            _cosine_expr(vec_col, [float(x) for x in row]).alias("sim"),
+            F.lit(-c).alias("negc"),
+        )
+        for c, row in enumerate(centroids)
+    ]
+    return emb.withColumn("cell", -F.array_max(F.array(*entries))["negc"])
 
 
 def ivf_topk(

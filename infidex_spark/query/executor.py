@@ -202,10 +202,21 @@ class _KeyedPointReader:
                     files.append((pf, karr, np.cumsum([0] + counts)))
             else:
                 files = None
-        except OSError:
+        except Exception:
+            # the docstring's contract is "metadata unreadable -> fall
+            # back to the filtered scan": pyarrow raises ArrowInvalid
+            # (NOT an OSError subclass) for corrupt/truncated footers,
+            # and non-file fragments have no .path — catching only
+            # OSError made a lazy query-time load fail the query instead
+            # of degrading (ADVICE r6)
             files = None
         self._files = files
         return files
+
+    def close(self) -> None:
+        """Drop cached ParquetFile handles and key columns (handles close
+        on GC); the reader reloads lazily if used again."""
+        self._files = False
 
     def fetch(self, keys, cols: list[str]):
         """Arrow tables that together hold every row whose key is probed
@@ -270,16 +281,22 @@ def aggregate_weighted_postings(
     total = int(sum(a.size for a in ids_l))
     max_id = max((int(a.max()) for a in ids_l if a.size), default=-1)
     dense_ok = total * 8 >= total_docs and 0 <= max_id < total_docs
-    if dense_ok and total_docs * 8 <= byte_cap:
+    # STRICT ascent gates BOTH dense branches: an array with duplicate
+    # ids must fall through to the exact sparse path — fancy-index +=
+    # silently drops duplicate contributions where bincount sums them
+    # (ADVICE r6; per-term postings are unique today, but the function
+    # is module-level and reusable)
+    strict_sorted = dense_ok and all(
+        a.size < 2 or bool((a[1:] > a[:-1]).all()) for a in ids_l
+    )
+    if dense_ok and strict_sorted and total_docs * 8 <= byte_cap:
         dense = np.zeros(total_docs, dtype=np.float64)
         for a, (t, m) in zip(ids_l, w_l):
             # doc ids are unique within a term → fancy-index += is exact
             dense[a] += t * m
         uids = np.flatnonzero(dense)
         return uids, dense[uids]
-    if dense_ok and all(
-        a.size < 2 or bool((a[1:] >= a[:-1]).all()) for a in ids_l
-    ):
+    if dense_ok and strict_sorted:
         csize = max(1, byte_cap // 8)
         dense = np.zeros(csize, dtype=np.float64)
         uids_parts: list[np.ndarray] = []
@@ -781,6 +798,25 @@ class IndexReader:
         except Exception:
             pass  # point reads fall back to filtered dataset scans
 
+    def close(self) -> None:
+        """Release prewarm resources: the read pool's threads and every
+        cached ParquetFile handle / in-RAM key column (ADVICE r6: one fd
+        per cached postings/wm/prefix file, so many prewarmed segment
+        readers could approach the default fd ulimit). The reader stays
+        usable — point structures reload lazily on the next query."""
+        pool = getattr(self, "_read_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._read_pool = None
+        for attr in ("_pb_terms", "_pb_meta"):
+            d = getattr(self, attr, None)
+            if d:
+                d.clear()
+        for attr in ("_wm_point", "_prefix_point"):
+            pr = getattr(self, attr, None)
+            if pr is not None:
+                pr.close()
+
     def _postings_frag_index(self):
         """bucket id -> [parquet fragment, ...] for the postings dataset,
         listed once per reader; None when the layout is not the expected
@@ -798,7 +834,10 @@ class IndexReader:
                     idx = None
                     break
                 idx.setdefault(int(m.group(1)), []).append(fr)
-        except OSError:
+        except Exception:
+            # fallback contract: unreadable metadata degrades to the
+            # filtered-scan path (pyarrow raises ArrowInvalid, not
+            # OSError, for corrupt footers; ADVICE r6)
             idx = None
         self._pfrag_idx = idx
         return idx
@@ -827,7 +866,8 @@ class IndexReader:
             for fr in fridx.get(b, []):
                 try:
                     fr.ensure_complete_metadata()
-                except OSError:
+                except Exception:
+                    # ArrowInvalid etc. degrade to scan (ADVICE r6)
                     entry = None
                     break
                 mins: list[str] = []
@@ -908,7 +948,8 @@ class IndexReader:
                     self._term_dict_files_left -= 1
                     goff = np.cumsum([0] + counts)
                     entry.append((pf, tarr, goff))
-                except OSError:
+                except Exception:
+                    # ArrowInvalid etc. degrade to stats/scan (ADVICE r6)
                     entry = None
                     break
         cache[b] = entry
@@ -1815,6 +1856,10 @@ class MultiReader:
         return {
             w: np.sort(np.concatenate(parts)) for w, parts in out.items()
         }
+
+    def close(self) -> None:
+        for r in self.readers:
+            r.close()
 
     @property
     def pattern_scores_delta_fmt(self) -> bool:
