@@ -26,16 +26,8 @@ def encode_varints(values: np.ndarray) -> bytes:
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # bytes per value = ceil(bitlength/7), min 1; bitlength via shift loop
-    # (at most 10 iterations of whole-array ops — still vectorized)
-    tmp = v >> np.uint64(7)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    while True:
-        mask = tmp > 0
-        if not mask.any():
-            break
-        nbytes[mask] += 1
-        tmp = tmp >> np.uint64(7)
+    # bytes per value = ceil(bitlength/7), min 1 (one searchsorted pass)
+    nbytes = _varint_sizes(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -83,17 +75,16 @@ def decode_varints(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
+# LEB128 byte-count thresholds: values < 2^(7k) need k bytes. One
+# searchsorted over this 10-entry table replaces the former shift loop
+# (which allocated a full-size temporary per 7-bit group — the top cost
+# of the encode pass under profiling).
+_VARINT_THRESHOLDS = (np.uint64(1) << (np.uint64(7) * np.arange(1, 10, dtype=np.uint64))).astype(np.uint64)
+
+
 def _varint_sizes(v: np.ndarray) -> np.ndarray:
-    """Per-value LEB128 byte counts (vectorized)."""
-    tmp = v >> np.uint64(7)
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    while True:
-        mask = tmp > 0
-        if not mask.any():
-            break
-        nbytes[mask] += 1
-        tmp = tmp >> np.uint64(7)
-    return nbytes
+    """Per-value LEB128 byte counts (vectorized, one pass)."""
+    return np.searchsorted(_VARINT_THRESHOLDS, v, side="right") + 1
 
 
 def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> dict:
@@ -148,30 +139,39 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray) -> dict:
     }
 
 
-def encode_postings_batch(
-    packed_lists: list[np.ndarray],
+def encode_postings_flat(
+    allp: np.ndarray,
+    lens: np.ndarray,
+    reuse_payload: list | None = None,
 ) -> dict:
-    """Encode many terms' postings in one vectorized pass.
+    """Encode many terms' postings from one flat int64 array of
+    (doc_id << 8 | tf) values plus per-term lengths. Returns parallel
+    lists: payload bytes, weights bytes, block_last_doc / block_max_w /
+    block_offsets / n_docs / max_tf per term. Equivalent to calling
+    encode_postings per term (tested); the varint encode, gap
+    computation AND the per-block metadata all run as single vectorized
+    passes over the concatenation — per-term Python work is only the
+    final slicing into row values.
 
-    packed_lists: per-term int64 arrays of (doc_id << 8 | tf), each sorted
-    by doc_id. Returns parallel lists: payload bytes, weights bytes,
-    block_last_doc / block_max_w / n_docs / max_tf per term. Equivalent to
-    calling encode_postings per term (tested), but the varint encode, gap
-    computation, and block metadata run once over the concatenation —
-    per-term Python work drops to slicing.
+    reuse_payload: optional per-term list where a non-None entry is this
+    term's already-encoded payload bytes (known identical to what this
+    function would produce — e.g. a single-partial merge); the varint
+    scatter then skips those values (metadata is still computed from the
+    flat array, so outputs are bit-identical either way).
     """
-    n_terms = len(packed_lists)
-    lens = np.fromiter((len(x) for x in packed_lists), dtype=np.int64, count=n_terms)
+    n_terms = int(lens.size)
+    lens = np.asarray(lens, dtype=np.int64)
     if n_terms == 0 or int(lens.sum()) == 0:
         return {
             "payload": [b""] * n_terms,
             "weights": [b""] * n_terms,
             "block_last_doc": [[] for _ in range(n_terms)],
             "block_max_w": [[] for _ in range(n_terms)],
+            "block_offsets": [[] for _ in range(n_terms)],
             "n_docs": lens.tolist(),
             "max_tf": [0] * n_terms,
         }
-    allp = np.concatenate([np.asarray(x, dtype=np.int64) for x in packed_lists])
+    allp = np.asarray(allp, dtype=np.int64)
     doc_ids = allp >> 8
     tfs = (allp & 0xFF).astype(np.uint8)
     ends = np.cumsum(lens)
@@ -190,37 +190,82 @@ def encode_postings_batch(
     nbytes = _varint_sizes(v)
     byte_ends = np.cumsum(nbytes)
     byte_starts = byte_ends - nbytes
+    scatter_sel = None
+    if reuse_payload is not None:
+        # skip the scatter for values whose term's payload is reused
+        keep_term = np.fromiter(
+            (p is None for p in reuse_payload), dtype=bool, count=n_terms
+        )
+        scatter_sel = np.repeat(keep_term, lens)
     buf = np.zeros(int(byte_ends[-1]), dtype=np.uint8)
     for g in range(int(nbytes.max())):
         sel = nbytes > g
+        if scatter_sel is not None:
+            sel &= scatter_sel
         idx = byte_starts[sel] + g
         chunk = (v[sel] >> np.uint64(7 * g)) & np.uint64(0x7F)
         cont = (nbytes[sel] - 1 > g).astype(np.uint8) << 7
         buf[idx] = chunk.astype(np.uint8) | cont
+        if scatter_sel is not None and not sel.any():
+            break
     raw = buf.tobytes()
     wraw = tfs.tobytes()
-    # per-term block metadata via reduceat over global block starts
-    payloads, weights_out, bl_last, bl_max, bl_off, max_tf = [], [], [], [], [], []
-    for i in range(n_terms):
-        s, e = int(starts[i]), int(ends[i])
-        if e == s:
-            payloads.append(b"")
-            weights_out.append(b"")
-            bl_last.append([])
-            bl_max.append([])
-            bl_off.append([])
-            max_tf.append(0)
-            continue
-        bstart = int(byte_starts[s])
-        bend = int(byte_ends[e - 1])
-        payloads.append(raw[bstart:bend])
-        weights_out.append(wraw[s:e])
-        blk = np.arange(s, e, BLOCK_SIZE)
-        bl_max.append(np.maximum.reduceat(tfs[s:e], blk - s).astype(np.int64).tolist())
-        last_idx = np.minimum(blk + BLOCK_SIZE - 1, e - 1)
-        bl_last.append(doc_ids[last_idx].tolist())
-        bl_off.append((byte_starts[blk] - bstart).tolist())
-        max_tf.append(int(tfs[s:e].max()))
+
+    # ---- block metadata, globally vectorized: every term's 128-doc
+    # block starts laid out in one flat index array, then ONE reduceat /
+    # gather per metric instead of a numpy-call cluster per term
+    nblocks = (lens + (BLOCK_SIZE - 1)) // BLOCK_SIZE
+    total_blocks = int(nblocks.sum())
+    blk_cum = np.cumsum(nblocks)
+    blk_first = blk_cum - nblocks  # first global block index per term
+    # ordinal of each block within its term
+    ordinal = np.arange(total_blocks, dtype=np.int64) - np.repeat(
+        blk_first, nblocks
+    )
+    blk_start = np.repeat(starts, nblocks) + ordinal * BLOCK_SIZE
+    term_end_rep = np.repeat(ends, nblocks)
+    blk_last_idx = np.minimum(blk_start + BLOCK_SIZE - 1, term_end_rep - 1)
+    if total_blocks:
+        bl_max_all = np.maximum.reduceat(tfs, blk_start).astype(np.int64)
+        # reduceat quirk: for a start index equal to the next start
+        # (impossible here: block starts are strictly increasing within
+        # the flat array because every block is non-empty)
+        bl_last_all = doc_ids[blk_last_idx]
+        # per-term payload byte base (index clamped only so empty
+        # trailing terms don't index past the array; their 0 blocks make
+        # the repeated value unused)
+        term_byte_base = byte_starts[np.minimum(starts, allp.size - 1)]
+        bl_off_all = byte_starts[blk_start] - np.repeat(term_byte_base, nblocks)
+        max_tf_all = (
+            np.maximum.reduceat(bl_max_all, blk_first[nz])
+            if nz.any()
+            else np.zeros(0, np.int64)
+        )
+    else:
+        bl_max_all = bl_last_all = bl_off_all = np.zeros(0, np.int64)
+        max_tf_all = np.zeros(0, np.int64)
+
+    # split points between terms (in block space / posting space)
+    payloads: list = [b""] * n_terms
+    weights_out: list = [b""] * n_terms
+    bl_last: list = [[]] * n_terms
+    bl_max: list = [[]] * n_terms
+    bl_off: list = [[]] * n_terms
+    max_tf = np.zeros(n_terms, dtype=np.int64)
+    max_tf[nz] = max_tf_all
+    bl_last_split = np.split(bl_last_all, blk_cum[:-1])
+    bl_max_split = np.split(bl_max_all, blk_cum[:-1])
+    bl_off_split = np.split(bl_off_all, blk_cum[:-1])
+    nz_idx = np.flatnonzero(nz)
+    b_lo = byte_starts[starts[nz]]
+    b_hi = byte_ends[ends[nz] - 1]
+    for j, i in enumerate(nz_idx.tolist()):
+        reused = reuse_payload[i] if reuse_payload is not None else None
+        payloads[i] = raw[b_lo[j]:b_hi[j]] if reused is None else reused
+        weights_out[i] = wraw[starts[i]:ends[i]]
+        bl_last[i] = bl_last_split[i].tolist()
+        bl_max[i] = bl_max_split[i].tolist()
+        bl_off[i] = bl_off_split[i].tolist()
     return {
         "payload": payloads,
         "weights": weights_out,
@@ -228,8 +273,33 @@ def encode_postings_batch(
         "block_max_w": bl_max,
         "block_offsets": bl_off,
         "n_docs": lens.tolist(),
-        "max_tf": max_tf,
+        "max_tf": max_tf.tolist(),
     }
+
+
+def encode_postings_batch(
+    packed_lists: list[np.ndarray],
+) -> dict:
+    """Encode many terms' postings in one vectorized pass.
+
+    packed_lists: per-term int64 arrays of (doc_id << 8 | tf), each sorted
+    by doc_id. Thin wrapper over encode_postings_flat (concatenate +
+    per-term lengths); equivalent to calling encode_postings per term
+    (tested)."""
+    n_terms = len(packed_lists)
+    lens = np.fromiter((len(x) for x in packed_lists), dtype=np.int64, count=n_terms)
+    if n_terms == 0 or int(lens.sum()) == 0:
+        return {
+            "payload": [b""] * n_terms,
+            "weights": [b""] * n_terms,
+            "block_last_doc": [[] for _ in range(n_terms)],
+            "block_max_w": [[] for _ in range(n_terms)],
+            "block_offsets": [[] for _ in range(n_terms)],
+            "n_docs": lens.tolist(),
+            "max_tf": [0] * n_terms,
+        }
+    allp = np.concatenate([np.asarray(x, dtype=np.int64) for x in packed_lists])
+    return encode_postings_flat(allp, lens)
 
 
 def decode_postings(payload: bytes, weights: bytes, n: int) -> tuple[np.ndarray, np.ndarray]:

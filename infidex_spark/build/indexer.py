@@ -483,38 +483,80 @@ def _merge_partial_stream(n_buckets: int):
     order). Rows arrive term-contiguous (sorted by xxhash64(term), term);
     a term's partials may span Arrow batches, so the last group of each
     batch is carried forward — the same no-split invariant as
-    _encode_sorted_stream."""
+    _encode_sorted_stream.
+
+    Vectorized whole-batch merge (guide §4.2 — batch work through numpy,
+    not per-row Python): ALL partial payloads of a batch decode in ONE
+    varint pass (concatenated stream + segmented cumsum rebase), the
+    within-term doc sort is one global lexsort keyed by (group, id), and
+    single-partial terms — the common case for the Zipf tail — reuse
+    their payload bytes verbatim (the codec is canonical LEB128, so
+    decode->encode is the identity; asserted by the merge parity tests)
+    while their block metadata is computed from the decoded stream."""
     import zlib
 
-    from infidex_spark.build.codec import decode_postings
+    from infidex_spark.build.codec import decode_varints, encode_postings_flat
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend_term: str | None = None
-        pend_parts: list[tuple[bytes, bytes, int]] = []
-        pend_df = 0
+        # carried columns of the (possibly incomplete) last term group
+        carry: tuple | None = None  # (terms, dfs, ns, payloads, weights)
 
-        def merge_group(parts) -> np.ndarray:
-            if len(parts) == 1:
-                p, w, n = parts[0]
-                ids, wts = decode_postings(p, w, int(n))
-            else:
-                idl, wl = [], []
-                for p, w, n in parts:
-                    i_, w_ = decode_postings(p, w, int(n))
-                    idl.append(i_)
-                    wl.append(w_)
-                ids = np.concatenate(idl)
-                wts = np.concatenate(wl)
-                order = np.argsort(ids)
-                ids, wts = ids[order], wts[order]
-            return (ids << 8) | wts.astype(np.int64)
-
-        def encode_group(terms, packed_lists, dfs) -> pd.DataFrame:
-            enc = encode_postings_batch(packed_lists)
+        def process(terms, dfs_in, ns, payloads, weights) -> pd.DataFrame:
+            n_rows = len(terms)
+            counts = ns.astype(np.int64)
+            total = int(counts.sum())
+            gaps = decode_varints(b"".join(payloads.tolist()), total)
+            cum = np.cumsum(gaps)
+            part_ends = np.cumsum(counts)
+            part_starts = part_ends - counts
+            prev = np.zeros(n_rows, dtype=np.uint64)
+            nzp = part_starts > 0
+            prev[nzp] = cum[part_starts[nzp] - 1]
+            ids = (cum - np.repeat(prev, counts)).view(np.int64)
+            w = np.frombuffer(b"".join(weights.tolist()), dtype=np.uint8)
+            # term group boundaries over rows
+            change = np.empty(n_rows, dtype=bool)
+            change[0] = True
+            change[1:] = terms[1:] != terms[:-1]
+            g_rows_start = np.flatnonzero(change)
+            parts_per_group = np.diff(np.append(g_rows_start, n_rows))
+            term_lens = np.add.reduceat(counts, g_rows_start)
+            multi = parts_per_group > 1
+            if multi.any():
+                if not w.flags.writeable:
+                    w = w.copy()  # frombuffer view over the joined bytes
+                # restore doc order inside each multi-partial term with
+                # an in-place argsort per group: cheaper than a global
+                # (group, id) lexsort both when multi groups are rare
+                # (huge-vocab tail: loop skips single-partial terms) and
+                # when they are hot (sorting k slices of n/k beats one
+                # two-key sort of n)
+                g_post_start = np.zeros(g_rows_start.size, dtype=np.int64)
+                g_post_start[1:] = part_ends[
+                    g_rows_start[1:] - 1
+                ]
+                g_post_end = np.append(
+                    g_post_start[1:], total
+                )
+                for gi in np.flatnonzero(multi).tolist():
+                    s, e = g_post_start[gi], g_post_end[gi]
+                    seg = ids[s:e]
+                    order = np.argsort(seg)
+                    ids[s:e] = seg[order]
+                    w[s:e] = w[s:e][order]
+            packed = (ids << 8) | w
+            reuse = [
+                None if multi[i] else payloads[g_rows_start[i]]
+                for i in range(g_rows_start.size)
+            ]
+            enc = encode_postings_flat(packed, term_lens, reuse_payload=reuse)
+            out_terms = terms[g_rows_start]
             return pd.DataFrame(
                 {
-                    "term": terms,
-                    "df": np.asarray(dfs, dtype=np.int64),
+                    "term": out_terms,
+                    "df": np.add.reduceat(
+                        dfs_in.astype(np.int64), g_rows_start
+                    ),
                     "n_docs": enc["n_docs"],
                     "max_tf": enc["max_tf"],
                     "payload": enc["payload"],
@@ -523,7 +565,10 @@ def _merge_partial_stream(n_buckets: int):
                     "block_max_w": enc["block_max_w"],
                     "block_offsets": enc["block_offsets"],
                     "bucket": np.asarray(
-                        [zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms],
+                        [
+                            zlib.crc32(t.encode("utf-8")) % n_buckets
+                            for t in out_terms
+                        ],
                         dtype=np.int32,
                     ),
                 }
@@ -537,23 +582,30 @@ def _merge_partial_stream(n_buckets: int):
             ns = pdf["n_docs"].to_numpy()
             payloads = pdf["payload"].to_numpy()
             weights = pdf["weights"].to_numpy()
-            out_terms, out_lists, out_dfs = [], [], []
-            for i in range(len(terms)):
-                t = terms[i]
-                if t != pend_term:
-                    if pend_term is not None:
-                        out_terms.append(pend_term)
-                        out_lists.append(merge_group(pend_parts))
-                        out_dfs.append(pend_df)
-                    pend_term, pend_parts, pend_df = t, [], 0
-                pend_parts.append((payloads[i], weights[i], ns[i]))
-                pend_df += int(dfs_in[i])
-            if out_terms:
-                yield encode_group(out_terms, out_lists, out_dfs)
-        if pend_term is not None:
-            yield encode_group(
-                [pend_term], [merge_group(pend_parts)], [pend_df]
+            if carry is not None:
+                terms = np.concatenate([carry[0], terms])
+                dfs_in = np.concatenate([carry[1], dfs_in])
+                ns = np.concatenate([carry[2], ns])
+                payloads = np.concatenate([carry[3], payloads])
+                weights = np.concatenate([carry[4], weights])
+                carry = None
+            # the final term may continue into the next batch: carry its
+            # rows and process only the complete groups
+            last_start = len(terms) - 1
+            while last_start > 0 and terms[last_start - 1] == terms[-1]:
+                last_start -= 1
+            carry = (
+                terms[last_start:], dfs_in[last_start:], ns[last_start:],
+                payloads[last_start:], weights[last_start:],
             )
+            if last_start:
+                yield process(
+                    terms[:last_start], dfs_in[:last_start],
+                    ns[:last_start], payloads[:last_start],
+                    weights[:last_start],
+                )
+        if carry is not None and len(carry[0]):
+            yield process(*carry)
 
     return run
 
@@ -649,6 +701,9 @@ def build_index(
             "spark.scheduler.pool",
             "build-chain" if name in _CHAIN_JOBS else "build-aux",
         )
+        # label the job for the UI/REST stage attribution (guide §1.5);
+        # thread-local like the pool, so concurrent jobs stay distinct
+        spark.sparkContext.setJobDescription(f"build:{name}")
         try:
             return fn(*a, **kw)
         finally:
@@ -829,6 +884,7 @@ def build_index(
         else None
     )
 
+    spark.sparkContext.setJobDescription("build:tokenize")
     if tokens_storage == "parquet":
         if not (resume and os.path.isdir(tokens_path)):
             tokens.write.mode("overwrite").parquet(tokens_path)
@@ -837,7 +893,7 @@ def build_index(
         from pyspark import StorageLevel
 
         tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
-        tokens.count()  # materialize once; reused by df/stats/postings
+        tokens.count()  # materialize once; reused by df/stats/prefixes
     _mark("tokenize")
 
     # ---- term df + stop-term identification (shuffle 1, one pass)
@@ -857,6 +913,7 @@ def build_index(
     else:
         term_df = tokens.groupBy("term").agg(F.sum("dfc").alias("df"))
     stop_dir = os.path.join(out_dir, "stop_terms")
+    spark.sparkContext.setJobDescription("build:term_df_stop")
     term_df.filter(F.col("df") > stop_term_limit).select("term").write.mode(
         "overwrite"
     ).parquet(stop_dir)
@@ -1057,6 +1114,7 @@ def build_index(
         if not todo:
             continue
         g0 = time.monotonic()
+        spark.sparkContext.setJobDescription("build:postings")
         if strategy == "salted-agg":
             part_df = (
                 # bucket as a bare expression: evaluated for partitioning
@@ -1460,6 +1518,7 @@ def _build_word_family(
     # collector, no collect_set/array_sort agg buffers (hot words would
     # make those the dominant build cost)
     n_buckets = 32
+    spark.sparkContext.setJobDescription("build:wm_words")
     (
         pairs.filter(F.length("word") >= 2)
         .withColumn(
@@ -1477,6 +1536,7 @@ def _build_word_family(
         .parquet(os.path.join(out_dir, "wm_words"))
     )
     # sq_words1: alphabet-sized table (same streaming collector, few buckets)
+    spark.sparkContext.setJobDescription("build:sq_words1")
     (
         pairs.filter(F.length("word") == 1)
         .withColumn(
@@ -1499,6 +1559,7 @@ def _build_word_family(
         # words/words_rev/word_variants tail below
         words_done.set()
     # words df (distinct-doc counts: pairs are already deduped per doc)
+    spark.sparkContext.setJobDescription("build:word_tables")
     word_df_tbl = pairs.groupBy("word").agg(F.count("*").alias("df"))
     word_df_tbl.orderBy("word").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "words"))
     pairs.unpersist()
@@ -1513,6 +1574,38 @@ def _build_word_family(
         ).select(F.col("word").alias("term")),
         os.path.join(out_dir, "word_variants"),
     )
+
+
+def _champions_sidecar(spark, docs: DataFrame, meta_path: str):
+    """Per-doc arrays for the champions map-side top-k: doc_id-indexed
+    n_tokens / tiny_text / doc_key (~24 B/doc). Returns None when the
+    corpus exceeds the broadcast cap or the id space is grossly sparse —
+    the caller then uses the fully distributed join+window plan."""
+    import pyarrow.dataset as pads
+
+    try:
+        tb = pads.dataset(meta_path).to_table(
+            columns=["doc_id", "n_tokens", "tiny_text"]
+        )
+    except Exception:
+        return None
+    n_rows = len(tb)
+    if n_rows == 0 or n_rows > SQ_TOPK_BROADCAST_DOCS:
+        return None
+    ids = tb["doc_id"].to_numpy()
+    n = int(ids.max()) + 1
+    if n > max(16 * n_rows, 1_000_000):
+        return None
+    ntok = np.zeros(n, dtype=np.int64)
+    ntok[ids] = tb["n_tokens"].to_numpy()
+    # '\x00' sentinel: never equals a 1-3 char prefix, reproducing the
+    # NULL tiny_text -> no precedence bit of the Catalyst plan
+    tiny = np.full(n, "\x00", dtype="<U3")
+    tiny[ids] = tb["tiny_text"].to_pandas().fillna("\x00").to_numpy(dtype="<U3")
+    keys = docs.select("doc_id", "doc_key").toPandas()
+    key = np.zeros(n, dtype=np.int64)
+    key[keys["doc_id"].to_numpy()] = keys["doc_key"].to_numpy()
+    return {"ntok": ntok, "tiny": tiny, "key": key}
 
 
 def _build_prefixes(
@@ -1610,6 +1703,7 @@ def _build_prefixes(
     # rows are globally unique per (prefix, doc): each doc's words come
     # from exactly one Arrow batch. persist() so extract runs once.
     spark = docs.sparkSession
+    spark.sparkContext.setJobDescription("build:prefix_pairs")
     pairs = (
         docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema).persist()
     )
@@ -1669,6 +1763,7 @@ def _build_prefixes(
         # inner pool threads carry no inherited scheduler pool: keep all
         # prefixes legs in build-aux (see build_index FAIR note)
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build-aux")
+        spark.sparkContext.setJobDescription("build:doc_meta")
         dm = docs.select("doc_id", "text").mapInPandas(meta, schema=meta_schema)
         dm.sortWithinPartitions("doc_id").write.mode("overwrite").options(**POINT_READ_WRITE_OPTS).parquet(os.path.join(out_dir, "doc_meta"))
         dm = spark.read.parquet(os.path.join(out_dir, "doc_meta"))
@@ -1691,6 +1786,7 @@ def _build_prefixes(
     def _lists_job():
         s = time.monotonic()
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", "build-aux")
+        spark.sparkContext.setJobDescription("build:prefix_lists")
         # ---- counts + capped positional rows: the count agg stays (its
         # shuffle is map-side-combined partials, tiny, and it keeps hot
         # prefixes OUT of the list shuffle — at corpus scale a hot 1-char
@@ -1787,30 +1883,122 @@ def _build_prefixes(
         f_store = ppool.submit(_store_job)
 
         # ---- champion lists (B7): top-64 per prefix by the short-query
-        # score (covers hot prefixes, whose full rows are not stored)
-        scored = pairs.join(doc_meta, "doc_id").join(
-            docs.select("doc_id", "doc_key"), "doc_id"
-        ).withColumn(
-            "precedence",
-            F.lit(128)
-            + F.when(F.col("first_pos") == 0, 64).otherwise(0)
-            + F.when((F.col("n_exact") > 0) | (F.col("n_tokens") <= 3), 32).otherwise(0)
-            + F.when(F.col("first_exact"), 16).otherwise(0)
-            + F.when(F.col("tiny_text") == F.col("prefix"), 8).otherwise(0),
-        ).withColumn(
-            "base",
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(255),
-                    (F.lit(255) - F.least(F.col("first_pos") * 16, F.lit(240)))
-                    + F.least(F.col("n_ws") * 8, F.lit(32)),
-                ),
-            ),
-        ).withColumn("sq_score", F.shiftleft(F.col("precedence"), 8) + F.col("base"))
+        # score (covers hot prefixes, whose full rows are not stored).
+        # Top-k is associative, so below the sidecar cap the heavy work
+        # runs MAP-SIDE (guide §2.3 "aggregate before you shuffle"):
+        # each pairs partition scores its rows against a broadcast
+        # per-doc sidecar (n_tokens / tiny text / doc_key — the same
+        # bounded ~24 B/doc shape as the sq_topk fold sidecar) and emits
+        # only its local per-prefix top-64 (+ boundary ties), so the
+        # window's shuffle+sort sees a small candidate superset instead
+        # of every (prefix, doc) pair joined against doc_meta twice.
+        # The window then produces exactly the rows the single-stage
+        # plan would (same ordering keys; local winners are a superset
+        # of the global top-64 because a row outside its partition's
+        # top-64-with-ties is dominated by 64 rows that also reach the
+        # reduce). Above the cap (or for grossly sparse id spaces) the
+        # original join+window plan runs unchanged.
+        spark.sparkContext.setJobDescription("build:champions")
         from pyspark.sql.window import Window
 
         w = Window.partitionBy("prefix").orderBy(F.desc("sq_score"), F.asc("doc_key"))
+        side = _champions_sidecar(spark, docs, os.path.join(out_dir, "doc_meta"))
+        if side is not None:
+            bc = spark.sparkContext.broadcast(side)
+            k_champ = _CHAMPION_LIST_SIZE
+
+            def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                cols: dict[str, list[np.ndarray]] = {
+                    "prefix": [], "doc_id": [], "first_pos": [],
+                    "n_ws": [], "n_exact": [], "first_exact": [],
+                }
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    for c in cols:
+                        cols[c].append(pdf[c].to_numpy())
+                if not cols["prefix"]:
+                    return
+                b = bc.value
+                prefix = np.concatenate(cols["prefix"])
+                doc_id = np.concatenate(cols["doc_id"])
+                first_pos = np.concatenate(cols["first_pos"])
+                n_ws = np.concatenate(cols["n_ws"])
+                n_exact = np.concatenate(cols["n_exact"])
+                first_exact = np.concatenate(cols["first_exact"])
+                ntok = b["ntok"][doc_id]
+                tiny = b["tiny"][doc_id]
+                key = b["key"][doc_id]
+                prec = (
+                    128
+                    + 64 * (first_pos == 0)
+                    + 32 * ((n_exact > 0) | (ntok <= 3))
+                    + 16 * first_exact
+                    + 8 * (tiny == prefix.astype("<U3"))
+                ).astype(np.int64)
+                base = np.clip(
+                    (255 - np.minimum(first_pos * 16, 240))
+                    + np.minimum(n_ws * 8, 32),
+                    0,
+                    255,
+                )
+                score = ((prec << 8) + base).astype(np.int64)
+                codes, _ = pd.factorize(prefix)
+                order = np.lexsort((key, -score, codes))
+                codes_s = codes[order]
+                grp = np.empty(codes_s.size, dtype=bool)
+                grp[0] = True
+                grp[1:] = codes_s[1:] != codes_s[:-1]
+                gstart_idx = np.flatnonzero(grp)
+                gidx = np.cumsum(grp) - 1
+                rank = np.arange(codes_s.size) - gstart_idx[gidx]
+                keep = rank < k_champ
+                # boundary ties: a row equal to its group's k-th
+                # (score, key) tuple stays, so the reduce always sees
+                # every candidate any valid global top-k could contain
+                glen = np.diff(np.append(gstart_idx, codes_s.size))
+                big = glen[gidx] > k_champ
+                if big.any():
+                    cut = np.minimum(
+                        gstart_idx[gidx] + k_champ - 1, codes_s.size - 1
+                    )
+                    s_o, k_o = score[order], key[order]
+                    keep |= big & (s_o == s_o[cut]) & (k_o == k_o[cut])
+                sel = order[keep]
+                yield pd.DataFrame(
+                    {
+                        "prefix": prefix[sel],
+                        "doc_id": doc_id[sel],
+                        "doc_key": key[sel],
+                        "sq_score": score[sel],
+                    }
+                )
+
+            scored = pairs.mapInPandas(
+                local_topk,
+                "prefix string, doc_id long, doc_key long, sq_score long",
+            )
+        else:
+            scored = pairs.join(doc_meta, "doc_id").join(
+                docs.select("doc_id", "doc_key"), "doc_id"
+            ).withColumn(
+                "precedence",
+                F.lit(128)
+                + F.when(F.col("first_pos") == 0, 64).otherwise(0)
+                + F.when((F.col("n_exact") > 0) | (F.col("n_tokens") <= 3), 32).otherwise(0)
+                + F.when(F.col("first_exact"), 16).otherwise(0)
+                + F.when(F.col("tiny_text") == F.col("prefix"), 8).otherwise(0),
+            ).withColumn(
+                "base",
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.lit(255),
+                        (F.lit(255) - F.least(F.col("first_pos") * 16, F.lit(240)))
+                        + F.least(F.col("n_ws") * 8, F.lit(32)),
+                    ),
+                ),
+            ).withColumn("sq_score", F.shiftleft(F.col("precedence"), 8) + F.col("base"))
         champions = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= _CHAMPION_LIST_SIZE)
@@ -2280,6 +2468,7 @@ def _sq_topk_fold(
     empty_schema: str,
     side_fut=None,
     words_needed: list[str] | None = None,
+    base_terms: list[str] | None = None,
 ) -> None:
     """Fold dataflow for _build_sq_topk: one packed repartition by q;
     per-q aggregation + precedence + top-k inside mapInPandas against
@@ -2294,20 +2483,40 @@ def _sq_topk_fold(
     bc = spark.sparkContext.broadcast(side)
     min_matched = SQ_TOPK_MIN_MATCHED
 
+    # shuffle-width control (guide §2.3 — narrower types through the
+    # exchange): internal doc ids are dense [0, n), so below 2^31 the
+    # fat doc-id arrays ride the one fold shuffle as int32 (half the
+    # bytes); the fold re-widens to int64 on arrival, so every computed
+    # value is unchanged. Ids >= 2^31 (never at per-segment scale) keep
+    # the long arrays.
+    ids32 = side["n"] <= 2**31 - 1
+    id_arr_t = "array<int>" if ids32 else "array<long>"
+
+    def _ids(col: str):
+        c = F.col(col)
+        return (c.cast(id_arr_t) if ids32 else c).alias("doc_ids")
+
     nil_b = F.lit(None).cast("binary")
-    nil_al = F.lit(None).cast("array<long>")
+    nil_al = F.lit(None).cast(id_arr_t)
     nil_ai = F.lit(None).cast("array<int>")
     nil_s = F.lit(None).cast("string")
     ps_in = (
         ps.join(pat_map, "pattern")
         .select(
-            "q", F.lit(0).alias("kind"), "doc_ids", "scores",
+            "q", F.lit(0).alias("kind"), _ids("doc_ids"), "scores",
             nil_b.alias("payload"), nil_b.alias("weights"),
             F.col("n_docs").alias("pn"), nil_s.alias("w"),
         )
     )
+    base_src = spark.read.parquet(postings_path)
+    if base_terms:
+        # isin BEFORE the broadcast join: the predicate pushes into the
+        # (bucket, term)-sorted parquet scan's row-group stats, so only
+        # groups holding wanted base terms are decoded (guide §6 — make
+        # pushdown reach the scan); the join then attaches q
+        base_src = base_src.filter(F.col("term").isin(base_terms))
     base_in = (
-        spark.read.parquet(postings_path)
+        base_src
         .join(base_map, "term")
         .select(
             "q", F.lit(1).alias("kind"), nil_al.alias("doc_ids"),
@@ -2368,7 +2577,8 @@ def _sq_topk_fold(
             .withColumnRenamed("word", "w")
             .join(tok_map, "w")
             .select(
-                "q", F.lit(2).alias("kind"), "doc_ids", nil_ai.alias("scores"),
+                "q", F.lit(2).alias("kind"), _ids("doc_ids"),
+                nil_ai.alias("scores"),
                 nil_b.alias("payload"), nil_b.alias("weights"),
                 F.lit(0).cast("long").alias("pn"), "w",
             )
@@ -2392,7 +2602,8 @@ def _sq_topk_fold(
             .groupBy("q", "w")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
             .select(
-                "q", F.lit(2).alias("kind"), "doc_ids", nil_ai.alias("scores"),
+                "q", F.lit(2).alias("kind"), _ids("doc_ids"),
+                nil_ai.alias("scores"),
                 nil_b.alias("payload"), nil_b.alias("weights"),
                 F.lit(0).cast("long").alias("pn"), "w",
             )
@@ -2652,6 +2863,7 @@ def _build_sq_topk(
             spark, out_dir, postings_path, ps, pat_map, base_map, tok_map,
             k, empty_schema, side_fut=side_fut,
             words_needed=sorted({w for w, _ in tok_rows}),
+            base_terms=sorted({t for t, _ in base_rows}),
         )
         return
 

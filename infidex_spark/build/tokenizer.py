@@ -103,18 +103,47 @@ def tokenize_batch_frames(
     if len(texts) == 0:
         return
 
-    # one word split for the whole batch
-    words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
     min_size = sizes[0]
-    words = words[words.str.len() >= min_size]
-    wlens = words.str.len()
-
     padded = (START_PAD * start_pad) + texts
     blob = "".join(padded.tolist())
     cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
     lengths = padded.str.len().to_numpy(dtype=np.int64)
     ends = np.cumsum(lengths)
     padded_len = lengths  # == text len + start_pad
+
+    # words = maximal non-delimiter runs in the codepoint array (pads act
+    # as breakers, and with start_pad >= 1 every doc begins with one, so
+    # runs never span documents) — the same vectorized run detection as
+    # tokenize_fields_batch, replacing the former per-row regex split +
+    # .str.len() passes (they were ~30% of the tokenize stage).
+    if start_pad >= 1:
+        is_break = (
+            np.isin(cps, _DELIM_CPS)
+            | (cps == _PAD_CPS[0])
+            | (cps == _PAD_CPS[1])
+        )
+        keep = ~is_break
+        prev_break = np.empty(cps.size, dtype=bool)
+        prev_break[0] = True
+        prev_break[1:] = is_break[:-1]
+        next_break = np.empty(cps.size, dtype=bool)
+        next_break[-1] = True
+        next_break[:-1] = is_break[1:]
+        w_starts = np.flatnonzero(keep & prev_break)
+        w_lens = np.flatnonzero(keep & next_break) - w_starts + 1
+        sel = w_lens >= min_size
+        w_starts, w_lens = w_starts[sel], w_lens[sel]
+        w_doc = np.searchsorted(ends, w_starts, side="right")
+    else:
+        # start_pad == 0: runs could span adjacent docs in the blob, so
+        # keep the per-row split for this (non-default) configuration
+        words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
+        words = words[words.str.len() >= min_size]
+        wl = words.str.len().to_numpy(np.int64)
+        w_doc = words.index.to_numpy(np.int64)
+        w_strs = words.to_numpy()
+        w_lens = wl
+        w_starts = None
 
     max_size = sizes[-1]
     for size in sizes:
@@ -139,11 +168,15 @@ def tokenize_batch_frames(
             doc_of = np.zeros(0, dtype=np.int64)
 
         # words of exactly this length live in the same key space
-        sw = words[wlens == size]
-        if len(sw):
-            wkeys = _pack_strings(sw, size)
+        lsel = w_lens == size
+        if lsel.any():
+            wkeys = (
+                _pack_keys(cps, w_starts[lsel], size)
+                if w_starts is not None
+                else _pack_strings(pd.Series(w_strs[lsel]), size)
+            )
             key = np.concatenate([key, wkeys])
-            doc_of = np.concatenate([doc_of, sw.index.to_numpy(np.int64)])
+            doc_of = np.concatenate([doc_of, w_doc[lsel]])
 
         if key.size:
             d, k, c = _count_pairs(doc_of, key)
@@ -158,11 +191,22 @@ def tokenize_batch_frames(
         if size == max_size:
             break
 
-    lw = words[wlens > max_size]
-    if len(lw):
-        wdf = pd.DataFrame({"doc_idx": lw.index.to_numpy(np.int64), "term": lw.to_numpy()})
-        wc = wdf.groupby(["doc_idx", "term"], sort=False).size().reset_index(name="occ")
-        yield wc
+    lsel = w_lens > max_size
+    if lsel.any():
+        lw_strs = (
+            _strings_of_runs(cps, w_starts[lsel], w_lens[lsel])
+            if w_starts is not None
+            else w_strs[lsel]
+        )
+        codes, uniq = pd.factorize(lw_strs)
+        d, k, c = _count_pairs(w_doc[lsel], codes.astype(np.uint64))
+        yield pd.DataFrame(
+            {
+                "doc_idx": d,
+                "term": np.asarray(uniq, dtype=object)[k.astype(np.int64)],
+                "occ": c,
+            }
+        )
 
 
 _DELIM_CPS = np.array(sorted(ord(c) for c in DELIMITERS), dtype=np.uint32)

@@ -164,3 +164,164 @@ def test_doc_lengths_dense_bounds(tmp_path, spark, reference_docs):
     assert keys.tolist() == [1, 4, 10]
     with pytest.raises(KeyError):
         r.doc_lengths(np.array([0, 99], dtype=np.int64))
+
+
+def test_merge_partial_stream_matches_per_term_encode():
+    """Vectorized reduce-side merge == decode+sort+encode_postings per
+    term, including boundary-spanning groups and single-partial payload
+    reuse."""
+    import pandas as pd
+
+    from infidex_spark.build.codec import encode_postings
+    from infidex_spark.build.indexer import _merge_partial_stream
+
+    rng = np.random.default_rng(13)
+    rows, ref = [], {}
+    for i in range(120):
+        term = f"tt{i:03d}"
+        n_total = int(rng.integers(1, 700))
+        ids = np.sort(rng.choice(500_000, n_total, replace=False)).astype(
+            np.int64
+        )
+        tf = rng.integers(1, 256, n_total).astype(np.uint8)
+        n_parts = 1 if i % 3 == 0 else int(rng.integers(2, 7))
+        assign = rng.integers(0, n_parts, n_total)
+        df_tot = 0
+        for p in range(n_parts):
+            sel = assign == p
+            if not sel.any():
+                continue
+            e = encode_postings(ids[sel], tf[sel])
+            d = int(rng.integers(1, 5))
+            df_tot += d
+            rows.append((term, d, int(sel.sum()), e["payload"], e["weights"]))
+        ref[term] = (ids, tf, df_tot)
+    df = pd.DataFrame(
+        rows, columns=["term", "df", "n_docs", "payload", "weights"]
+    )
+    # small batches force the carry-across-batches path
+    batches = [df.iloc[i : i + 23] for i in range(0, len(df), 23)]
+    out = pd.concat(
+        list(_merge_partial_stream(16)(iter(batches))), ignore_index=True
+    )
+    assert len(out) == len(ref)
+    import zlib
+
+    for _, row in out.iterrows():
+        ids, tf, df_tot = ref[row["term"]]
+        e = encode_postings(ids, tf)
+        assert row["payload"] == e["payload"]
+        assert row["weights"] == e["weights"]
+        assert row["df"] == df_tot and row["n_docs"] == len(ids)
+        assert row["max_tf"] == int(tf.max())
+        assert list(row["block_last_doc"]) == e["block_last_doc"].tolist()
+        assert list(row["block_max_w"]) == e["block_max_w"].tolist()
+        assert list(row["block_offsets"]) == e["block_offsets"].tolist()
+        assert row["bucket"] == zlib.crc32(row["term"].encode()) % 16
+
+
+def test_encode_postings_flat_reuse_and_edges():
+    """encode_postings_batch/flat == encode_postings per term on edge
+    shapes (empty terms, exact block multiples, >128-doc lists), and
+    reuse_payload returns bit-identical rows."""
+    from infidex_spark.build.codec import (
+        encode_postings,
+        encode_postings_batch,
+        encode_postings_flat,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def mk(n, hi=10**6):
+        if n == 0:
+            return np.zeros(0, dtype=np.int64)
+        ids = np.sort(rng.choice(hi, n, replace=False)).astype(np.int64)
+        tf = rng.integers(1, 256, n).astype(np.int64)
+        return (ids << 8) | tf
+
+    lists = [mk(0), mk(1), mk(127), mk(128), mk(129), mk(256), mk(0), mk(999)]
+    got = encode_postings_batch(lists)
+    for i, pl in enumerate(lists):
+        e = encode_postings(pl >> 8, (pl & 0xFF).astype(np.uint8))
+        assert got["payload"][i] == e["payload"]
+        assert got["weights"][i] == e["weights"]
+        assert list(got["block_last_doc"][i]) == e["block_last_doc"].tolist()
+        assert list(got["block_max_w"][i]) == e["block_max_w"].tolist()
+        assert list(got["block_offsets"][i]) == e["block_offsets"].tolist()
+    allp = np.concatenate([x for x in lists])
+    lens = np.array([len(x) for x in lists])
+    base = encode_postings_flat(allp, lens)
+    reuse = [p if i % 2 else None for i, p in enumerate(base["payload"])]
+    again = encode_postings_flat(allp, lens, reuse_payload=reuse)
+    for k in base:
+        assert again[k] == base[k], k
+
+
+def test_tokenizer_run_words_match_split_words():
+    """Codepoint-run word extraction (start_pad >= 1) produces the same
+    (doc, term, occ) multiset as the regex-split path (start_pad == 0 is
+    not comparable directly, so compare against the kernel tokenizer)."""
+    import pandas as pd
+
+    from infidex_spark.build.tokenizer import tokenize_batch
+    from infidex_spark.kernel.tokenize import index_tokens
+
+    texts = [
+        "quick brown fox",
+        "",
+        "  leading  spaces and-hyphens: x yz wxyz",
+        "a b c d e",
+        "word " * 50 + "tail",
+        "příliš žluťoučký kůň",
+    ]
+    for sizes in ((3,), (2,), (2, 3)):
+        got = tokenize_batch(
+            pd.Series(texts), sizes=sizes, start_pad=2, prenormalized=True
+        )
+        got_set = {
+            (int(r.doc_idx), r.term, int(r.occ)) for r in got.itertuples()
+        }
+        ref_set = set()
+        for di, t in enumerate(texts):
+            from collections import Counter
+
+            cnt = Counter(
+                term for term, _pos in index_tokens(t, sizes=sizes, start_pad=2)
+            )
+            ref_set |= {(di, term, occ) for term, occ in cnt.items()}
+        assert got_set == ref_set, sizes
+
+
+def test_champions_sidecar_plan_matches_join_plan(tmp_path, spark, reference_docs):
+    """Map-side champions top-k == the join+window plan, bit for bit."""
+    import pandas as pd
+
+    from infidex_spark.build import indexer as I
+
+    docs = spark.createDataFrame(
+        [(i, 7000 + i, text) for i, (_k, text) in enumerate(reference_docs)],
+        "doc_id long, doc_key long, text string",
+    )
+    out_a = str(tmp_path / "idx_sidecar")
+    out_b = str(tmp_path / "idx_join")
+    I.build_index(spark, docs, out_a, n_buckets=4, salts=2, short_precompute=False)
+    orig = I._champions_sidecar
+    I._champions_sidecar = lambda *a, **k: None
+    try:
+        I.build_index(
+            spark, docs, out_b, n_buckets=4, salts=2, short_precompute=False
+        )
+    finally:
+        I._champions_sidecar = orig
+    a = (
+        pd.read_parquet(out_a + "/champions")
+        .sort_values(["prefix", "rn"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pd.read_parquet(out_b + "/champions")
+        .sort_values(["prefix", "rn"])
+        .reset_index(drop=True)
+    )
+    assert dict(a.dtypes) == dict(b.dtypes)
+    assert a.equals(b)
