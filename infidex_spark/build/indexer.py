@@ -1405,6 +1405,186 @@ _PREFIX_SCHEMA = T.StructType(
 _CHAMPION_LIST_SIZE = 64  # ShortQueryResolver.ChampionListSize
 
 
+def _word_list_partial(n_buckets: int | None, key: str = "word"):
+    """mapInPandas factory: per-partition (key -> sorted local doc ids)
+    partial rows. Doc ids of one key are disjoint across partitions
+    (each doc's pairs live in exactly one partition), so the reduce-side
+    merge is concat + sort with no dedup needed. With n_buckets a crc32
+    bucket column is added (the word tables' file layout); None omits
+    it (the prefixes table repartitions by the key itself)."""
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w_l: list[np.ndarray] = []
+        d_l: list[np.ndarray] = []
+        for pdf in batches:
+            if len(pdf):
+                w_l.append(pdf[key].to_numpy())
+                d_l.append(pdf["doc_id"].to_numpy())
+        if not w_l:
+            return
+        words = np.concatenate(w_l)
+        docs = np.concatenate(d_l)
+        codes, uniq = pd.factorize(words)
+        order = np.lexsort((docs, codes))
+        codes_s, docs_s = codes[order], docs[order]
+        change = np.empty(codes_s.size, dtype=bool)
+        change[0] = True
+        change[1:] = codes_s[1:] != codes_s[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], codes_s.size)
+        out_words = np.asarray(uniq, dtype=object)[codes_s[starts]]
+        cols = {
+            key: out_words,
+            "doc_ids": [
+                docs_s[s:e] for s, e in zip(starts.tolist(), ends.tolist())
+            ],
+        }
+        if n_buckets is not None:
+            cols["bucket"] = np.asarray(
+                [
+                    zlib.crc32(w.encode("utf-8")) % n_buckets
+                    for w in out_words
+                ],
+                dtype=np.int32,
+            )
+        yield pd.DataFrame(cols)
+
+    return run
+
+
+def _word_list_merge(
+    max_list: int, key: str = "word", cap_is_null: bool = False
+):
+    """mapInPandas factory: merge per-partition key partials (rows
+    sorted so a key's partials are contiguous; they may span Arrow
+    batches, so the final group is carried forward). Emits the TRUE
+    n_docs alongside the merged sorted ids; above max_list the list is
+    truncated (word tables: n_docs > len(doc_ids) signals truncation)
+    or nulled (cap_is_null, the prefixes convention for hot rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: tuple | None = None
+
+        def process(words, buckets, lists) -> pd.DataFrame:
+            n = len(words)
+            change = np.empty(n, dtype=bool)
+            change[0] = True
+            change[1:] = words[1:] != words[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], n)
+            out_w, out_b, out_ids = [], [], []
+            for s, e in zip(starts.tolist(), ends.tolist()):
+                parts = lists[s:e]
+                ids = (
+                    np.asarray(parts[0], dtype=np.int64)
+                    if e - s == 1
+                    else np.sort(
+                        np.concatenate(
+                            [np.asarray(x, dtype=np.int64) for x in parts]
+                        )
+                    )
+                )
+                out_w.append(words[s])
+                if buckets is not None:
+                    out_b.append(int(buckets[s]))
+                out_ids.append(ids)
+            n_docs = np.fromiter(
+                (i.size for i in out_ids), dtype=np.int64, count=len(out_ids)
+            )
+            if cap_is_null:
+                cols = {
+                    key: out_w,
+                    "n_docs": n_docs,
+                    "doc_ids": [
+                        i.tolist() if i.size <= max_list else None
+                        for i in out_ids
+                    ],
+                }
+            else:
+                cols = {
+                    key: out_w,
+                    "doc_ids": [i[:max_list].tolist() for i in out_ids],
+                    "n_docs": n_docs,
+                }
+            if buckets is not None:
+                cols["bucket"] = np.asarray(out_b, dtype=np.int32)
+            return pd.DataFrame(cols)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            words = pdf[key].to_numpy()
+            buckets = pdf["bucket"].to_numpy() if "bucket" in pdf.columns else None
+            lists = pdf["doc_ids"].to_numpy()
+            if carry is not None:
+                words = np.concatenate([carry[0], words])
+                if buckets is not None:
+                    buckets = np.concatenate([carry[1], buckets])
+                lists = np.concatenate([carry[2], lists])
+                carry = None
+            last = len(words) - 1
+            while last > 0 and words[last - 1] == words[-1]:
+                last -= 1
+            carry = (
+                words[last:],
+                buckets[last:] if buckets is not None else None,
+                lists[last:],
+            )
+            if last:
+                yield process(
+                    words[:last],
+                    buckets[:last] if buckets is not None else None,
+                    lists[:last],
+                )
+        if carry is not None and len(carry[0]):
+            yield process(*carry)
+
+    return run
+
+
+def _word_pairs_extract(synonym_map=None):
+    """mapInPandas factory: deduped (doc_id, word) pairs per batch.
+
+    Words are maximal non-delimiter runs over the space-joined codepoint
+    array (space is a delimiter, so the join separator breaks runs at
+    doc boundaries) — replaces the per-row regex split + .str.len() +
+    frame drop_duplicates passes with numpy run detection + one
+    packed-key unique (same rows, any order)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _strings_of_runs, _word_runs
+
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
+            blob = " ".join(texts.tolist())
+            cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+            if cps.size == 0:
+                continue
+            doc_ends = np.cumsum(texts.str.len().to_numpy(np.int64) + 1)
+            w_starts, rlens = _word_runs(cps)
+            if not w_starts.size:
+                continue
+            docpos = np.searchsorted(doc_ends, w_starts, side="right")
+            codes, uniq = pd.factorize(_strings_of_runs(cps, w_starts, rlens))
+            packed = (docpos.astype(np.int64) << 32) | codes
+            upacked = np.unique(packed)
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[(upacked >> 32)],
+                    "word": np.asarray(uniq, dtype=object)[
+                        upacked & 0xFFFFFFFF
+                    ],
+                }
+            )
+
+    return extract
+
+
 def _build_word_family(
     docs: DataFrame, out_dir: str, synonym_map=None, max_list: int = 1_250_000,
     words_done: threading.Event | None = None,
@@ -1435,118 +1615,57 @@ def _build_word_family(
     the tokens_storage trade-off."""
     spark = docs.sparkSession
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from infidex_spark.kernel.normalize import normalize_series
-        from infidex_spark.build.tokenizer import _DELIM_SPLIT
-
-        for pdf in batches:
-            texts = normalize_series(pdf["text"].fillna("")).str.lower()
-            if synonym_map is not None and synonym_map.has_mappings:
-                texts = synonym_map.canonicalize_series(texts)
-            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-            words = words[words.str.len() >= 1]
-            if not len(words):
-                continue
-            ids = pdf["doc_id"].to_numpy()
-            frame = pd.DataFrame(
-                {
-                    "doc_id": ids[words.index.to_numpy(np.int64)],
-                    "word": words.to_numpy(),
-                }
-            ).drop_duplicates()
-            yield frame
-
     from pyspark import StorageLevel
 
     pairs = (
         docs.select("doc_id", "text")
-        .mapInPandas(extract, "doc_id long, word string")
+        .mapInPandas(_word_pairs_extract(synonym_map), "doc_id long, word string")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def collect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pend_word: str | None = None
-        pend_bucket = 0
-        pend_ids: list[np.ndarray] = []
-
-        def emit(words, buckets, id_lists) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "word": words,
-                    "doc_ids": [ids[:max_list].tolist() for ids in id_lists],
-                    # TRUE count, even when the list is capped: n_docs >
-                    # len(doc_ids) signals truncation (same convention as
-                    # pattern_scores' withheld rows), so a reader can
-                    # distinguish an exactly-max_list list from a cut one
-                    "n_docs": np.fromiter(
-                        (len(i) for i in id_lists),
-                        dtype=np.int64, count=len(id_lists),
-                    ),
-                    "bucket": np.asarray(buckets, dtype=np.int32),
-                }
-            )
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            words = pdf["word"].to_numpy()
-            ids = pdf["doc_id"].to_numpy()
-            buckets = pdf["bucket"].to_numpy()
-            change = np.empty(len(words), dtype=bool)
-            change[0] = True
-            change[1:] = words[1:] != words[:-1]
-            starts = np.flatnonzero(change)
-            ends = np.append(starts[1:], len(words))
-            out_w, out_b, out_ids = [], [], []
-            for s, e in zip(starts.tolist(), ends.tolist()):
-                w = words[s]
-                if pend_word is not None and w == pend_word:
-                    pend_ids.append(ids[s:e])
-                    continue
-                if pend_word is not None:
-                    out_w.append(pend_word)
-                    out_b.append(pend_bucket)
-                    out_ids.append(np.concatenate(pend_ids))
-                pend_word, pend_bucket, pend_ids = w, int(buckets[s]), [ids[s:e]]
-            if out_w:
-                yield emit(out_w, out_b, out_ids)
-        if pend_word is not None:
-            yield emit([pend_word], [pend_bucket], [np.concatenate(pend_ids)])
-
-    # wm_words: same physical shape as the postings build — one shuffle
-    # on the word bucket, a spillable sort, and a streaming group
-    # collector, no collect_set/array_sort agg buffers (hot words would
-    # make those the dominant build cost)
+    # wm_words: the same map-side-partial shape as the postings build
+    # (guide §2.3 "aggregate before you shuffle"): each pairs partition
+    # emits ONE (word, sorted local ids) row per word it holds, so the
+    # exchange moves vocabulary-granular array rows instead of
+    # (doc, word) pairs — a hot word ships as ~n_partitions rows, not
+    # df rows — and the reduce is a k-way array merge, not a
+    # posting-granular Tungsten sort. The sort leads with bucket so the
+    # partitionBy writer inserts NO extra sort (an inserted bucket sort
+    # silently destroyed word order in hash-colliding partitions — the
+    # same defect ADVICE r6 found in the salted-agg postings leg — which
+    # cost those files their point-read stats pruning).
     n_buckets = 32
     spark.sparkContext.setJobDescription("build:wm_words")
     (
         pairs.filter(F.length("word") >= 2)
-        .withColumn(
-            "bucket",
-            F.pmod(F.crc32(F.encode("word", "utf-8")), F.lit(n_buckets)).cast("int"),
+        .mapInPandas(
+            _word_list_partial(n_buckets),
+            "word string, doc_ids array<long>, bucket int",
         )
         .repartition(n_buckets, "bucket")
-        .sortWithinPartitions("word", "doc_id")
+        .sortWithinPartitions("bucket", "word")
         .mapInPandas(
-            collect, "word string, doc_ids array<long>, n_docs long, bucket int"
+            _word_list_merge(max_list),
+            "word string, doc_ids array<long>, n_docs long, bucket int",
         )
         .write.mode("overwrite")
         .options(**POINT_READ_WRITE_OPTS)
         .partitionBy("bucket")
         .parquet(os.path.join(out_dir, "wm_words"))
     )
-    # sq_words1: alphabet-sized table (same streaming collector, few buckets)
+    # sq_words1: alphabet-sized table (same partial/merge, few buckets)
     spark.sparkContext.setJobDescription("build:sq_words1")
     (
         pairs.filter(F.length("word") == 1)
-        .withColumn(
-            "bucket",
-            F.pmod(F.crc32(F.encode("word", "utf-8")), F.lit(4)).cast("int"),
+        .mapInPandas(
+            _word_list_partial(4),
+            "word string, doc_ids array<long>, bucket int",
         )
         .repartition(4, "bucket")
-        .sortWithinPartitions("word", "doc_id")
+        .sortWithinPartitions("bucket", "word")
         .mapInPandas(
-            collect, "word string, doc_ids array<long>, n_docs long, bucket int"
+            _word_list_merge(max_list),
+            "word string, doc_ids array<long>, n_docs long, bucket int",
         )
         .write.mode("overwrite")
         .options(**POINT_READ_WRITE_OPTS)
@@ -1574,6 +1693,86 @@ def _build_word_family(
         ).select(F.col("word").alias("term")),
         os.path.join(out_dir, "word_variants"),
     )
+
+
+def _prefix_pairs_extract(synonym_map=None):
+    """mapInPandas factory: per-(1..3-char prefix, doc) positional
+    aggregates for the short-query index (see _build_prefixes)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from infidex_spark.kernel.normalize import normalize_series
+        from infidex_spark.build.tokenizer import _key_to_str, _pack_keys, _word_runs
+
+        # words as maximal non-delimiter runs over the space-joined
+        # codepoint array (space is a delimiter, so the separator breaks
+        # runs at doc boundaries): keys pack straight from the original
+        # array — no regex split, no word-string materialization, no
+        # second blob encode (the former per-row passes dominated this
+        # stage's Python time)
+        for pdf in batches:
+            texts = normalize_series(pdf["text"].fillna("")).str.lower()
+            if synonym_map is not None and synonym_map.has_mappings:
+                texts = synonym_map.canonicalize_series(texts)
+            blob = " ".join(texts.tolist())
+            cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
+            if cps.size == 0:
+                continue
+            doc_ends = np.cumsum(texts.str.len().to_numpy(np.int64) + 1)
+            starts, wlen = _word_runs(cps)
+            if not starts.size:
+                continue
+            ids = pdf["doc_id"].to_numpy()
+            didx = np.searchsorted(doc_ends, starts, side="right")
+            wdoc = ids[didx]
+            # token ordinal within each doc (runs arrive in text order)
+            n = didx.size
+            arange = np.arange(n)
+            doc_change = np.empty(n, dtype=bool)
+            doc_change[0] = True
+            doc_change[1:] = didx[1:] != didx[:-1]
+            doc_start = np.maximum.accumulate(np.where(doc_change, arange, 0))
+            wpos = arange - doc_start
+            frames = []
+            for plen in (1, 2, 3):
+                sel = wlen >= plen
+                if not sel.any():
+                    continue
+                keys = _pack_keys(cps, starts[sel], plen)
+                docs_sel = wdoc[sel]
+                pos_sel = wpos[sel]
+                exact_sel = (wlen[sel] == plen).astype(np.int64)
+                # aggregate per (key, doc) with one lexsort + reduceat
+                order = np.lexsort((pos_sel, keys, docs_sel))
+                keys, docs_sel = keys[order], docs_sel[order]
+                pos_sel, exact_sel = pos_sel[order], exact_sel[order]
+                grp = np.empty(keys.size, dtype=bool)
+                grp[0] = True
+                grp[1:] = (keys[1:] != keys[:-1]) | (docs_sel[1:] != docs_sel[:-1])
+                gstart = np.flatnonzero(grp)
+                first_pos = pos_sel[gstart]  # sorted by pos within group
+                n_ws = np.diff(np.append(gstart, keys.size))
+                n_exact = np.add.reduceat(exact_sel, gstart)
+                first_exact = (
+                    np.add.reduceat(exact_sel * (pos_sel == 0), gstart) > 0
+                )
+                ukeys, inv = np.unique(keys[gstart], return_inverse=True)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "prefix": pd.Categorical.from_codes(
+                                inv, categories=_key_to_str(ukeys, plen)
+                            ),
+                            "doc_id": docs_sel[gstart].astype(np.int64),
+                            "first_pos": first_pos.astype(np.int64),
+                            "n_ws": n_ws.astype(np.int64),
+                            "n_exact": n_exact.astype(np.int64),
+                            "first_exact": first_exact,
+                        }
+                    )
+                )
+            yield from frames
+
+    return extract
 
 
 def _champions_sidecar(spark, docs: DataFrame, meta_path: str):
@@ -1619,76 +1818,6 @@ def _build_prefixes(
     champion list (top-64 by the short-query score); the query path never
     needs a hot prefix's full posting rows."""
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from infidex_spark.kernel.normalize import normalize_series
-        from infidex_spark.build.tokenizer import (
-            _DELIM_SPLIT,
-            _key_to_str,
-            _pack_keys,
-        )
-
-        for pdf in batches:
-            texts = normalize_series(pdf["text"].fillna("")).str.lower()
-            if synonym_map is not None and synonym_map.has_mappings:
-                texts = synonym_map.canonicalize_series(texts)
-            words = texts.str.split(_DELIM_SPLIT, regex=True).explode()
-            words = words[words.str.len() >= 1]
-            if not len(words):
-                continue
-            ids = pdf["doc_id"].to_numpy()
-            didx = words.index.to_numpy(np.int64)
-            wdoc = ids[didx]
-            # token ordinal within each doc (explode preserves order)
-            n = didx.size
-            arange = np.arange(n)
-            doc_change = np.empty(n, dtype=bool)
-            doc_change[0] = True
-            doc_change[1:] = didx[1:] != didx[:-1]
-            doc_start = np.maximum.accumulate(np.where(doc_change, arange, 0))
-            wpos = arange - doc_start
-            blob = "".join(words.tolist())
-            cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32)
-            wlen = words.str.len().to_numpy(np.int64)
-            starts = np.cumsum(wlen) - wlen
-            frames = []
-            for plen in (1, 2, 3):
-                sel = wlen >= plen
-                if not sel.any():
-                    continue
-                keys = _pack_keys(cps, starts[sel], plen)
-                docs_sel = wdoc[sel]
-                pos_sel = wpos[sel]
-                exact_sel = (wlen[sel] == plen).astype(np.int64)
-                # aggregate per (key, doc) with one lexsort + reduceat
-                order = np.lexsort((pos_sel, keys, docs_sel))
-                keys, docs_sel = keys[order], docs_sel[order]
-                pos_sel, exact_sel = pos_sel[order], exact_sel[order]
-                grp = np.empty(keys.size, dtype=bool)
-                grp[0] = True
-                grp[1:] = (keys[1:] != keys[:-1]) | (docs_sel[1:] != docs_sel[:-1])
-                gstart = np.flatnonzero(grp)
-                first_pos = pos_sel[gstart]  # sorted by pos within group
-                n_ws = np.diff(np.append(gstart, keys.size))
-                n_exact = np.add.reduceat(exact_sel, gstart)
-                first_exact = (
-                    np.add.reduceat(exact_sel * (pos_sel == 0), gstart) > 0
-                )
-                ukeys, inv = np.unique(keys[gstart], return_inverse=True)
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "prefix": pd.Categorical.from_codes(
-                                inv, categories=_key_to_str(ukeys, plen)
-                            ),
-                            "doc_id": docs_sel[gstart].astype(np.int64),
-                            "first_pos": first_pos.astype(np.int64),
-                            "n_ws": n_ws.astype(np.int64),
-                            "n_exact": n_exact.astype(np.int64),
-                            "first_exact": first_exact,
-                        }
-                    )
-                )
-            yield from frames
 
     pairs_schema = T.StructType(
         [
@@ -1705,7 +1834,9 @@ def _build_prefixes(
     spark = docs.sparkSession
     spark.sparkContext.setJobDescription("build:prefix_pairs")
     pairs = (
-        docs.select("doc_id", "text").mapInPandas(extract, schema=pairs_schema).persist()
+        docs.select("doc_id", "text")
+        .mapInPandas(_prefix_pairs_extract(synonym_map), schema=pairs_schema)
+        .persist()
     )
     pairs.count()  # materialize once before the concurrent consumers below
 
@@ -1801,57 +1932,24 @@ def _build_prefixes(
         counts = pairs.groupBy("prefix").agg(F.count("*").alias("n_docs")).persist()
         small = counts.filter(F.col("n_docs") <= max_prefix_docs).select("prefix")
 
-        def collect_lists(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            pend_prefix = None
-            pend_ids: list[np.ndarray] = []
-
-            def emit(prefixes, id_lists) -> pd.DataFrame:
-                return pd.DataFrame(
-                    {
-                        "prefix": prefixes,
-                        "n_docs": np.fromiter(
-                            (i.size for i in id_lists),
-                            dtype=np.int64, count=len(id_lists),
-                        ),
-                        "doc_ids": [
-                            i.tolist() if i.size <= max_prefix_docs else None
-                            for i in id_lists
-                        ],
-                    }
-                )
-
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                prefixes = pdf["prefix"].to_numpy()
-                ids = pdf["doc_id"].to_numpy()
-                change = np.empty(len(prefixes), dtype=bool)
-                change[0] = True
-                change[1:] = prefixes[1:] != prefixes[:-1]
-                starts = np.flatnonzero(change)
-                ends = np.append(starts[1:], len(prefixes))
-                out_p, out_ids = [], []
-                for st, en in zip(starts.tolist(), ends.tolist()):
-                    p = prefixes[st]
-                    if pend_prefix is not None and p == pend_prefix:
-                        pend_ids.append(ids[st:en])
-                        continue
-                    if pend_prefix is not None:
-                        out_p.append(pend_prefix)
-                        out_ids.append(np.concatenate(pend_ids))
-                    pend_prefix, pend_ids = p, [ids[st:en]]
-                if out_p:
-                    yield emit(out_p, out_ids)
-            if pend_prefix is not None:
-                yield emit([pend_prefix], [np.concatenate(pend_ids)])
-
+        # map-side partials (same shape as the wm_words legs): each
+        # pairs partition emits one (prefix, sorted local ids) row per
+        # prefix, so the exchange moves vocabulary-granular array rows
+        # instead of (prefix, doc) pairs and the reduce is a k-way
+        # array merge (one doc's pairs live in exactly one partition,
+        # so merged ids are unique by construction)
         collected = (
             pairs.select("prefix", "doc_id")
             .join(F.broadcast(small), "prefix", "left_semi")
-            .repartition("prefix")
-            .sortWithinPartitions("prefix", "doc_id")
             .mapInPandas(
-                collect_lists, "prefix string, n_docs long, doc_ids array<long>"
+                _word_list_partial(None, key="prefix"),
+                "prefix string, doc_ids array<long>",
+            )
+            .repartition("prefix")
+            .sortWithinPartitions("prefix")
+            .mapInPandas(
+                _word_list_merge(max_prefix_docs, key="prefix", cap_is_null=True),
+                "prefix string, n_docs long, doc_ids array<long>",
             )
         )
         hot = counts.filter(F.col("n_docs") > max_prefix_docs).select(

@@ -111,26 +111,22 @@ def tokenize_batch_frames(
     ends = np.cumsum(lengths)
     padded_len = lengths  # == text len + start_pad
 
-    # words = maximal non-delimiter runs in the codepoint array (pads act
-    # as breakers, and with start_pad >= 1 every doc begins with one, so
-    # runs never span documents) — the same vectorized run detection as
-    # tokenize_fields_batch, replacing the former per-row regex split +
-    # .str.len() passes (they were ~30% of the tokenize stage).
+    # words = maximal non-delimiter runs in the codepoint array — the
+    # same vectorized run detection as tokenize_fields_batch, replacing
+    # the former per-row regex split + .str.len() passes (they were
+    # ~30% of the tokenize stage). Only the synthetic per-doc PREFIX
+    # pads break runs (so runs never span documents); a literal pad
+    # character inside a text stays part of its word, exactly as the
+    # regex split (which only splits on delimiters) behaved.
     if start_pad >= 1:
-        is_break = (
-            np.isin(cps, _DELIM_CPS)
-            | (cps == _PAD_CPS[0])
-            | (cps == _PAD_CPS[1])
-        )
-        keep = ~is_break
-        prev_break = np.empty(cps.size, dtype=bool)
-        prev_break[0] = True
-        prev_break[1:] = is_break[:-1]
-        next_break = np.empty(cps.size, dtype=bool)
-        next_break[-1] = True
-        next_break[:-1] = is_break[1:]
-        w_starts = np.flatnonzero(keep & prev_break)
-        w_lens = np.flatnonzero(keep & next_break) - w_starts + 1
+        doc_starts_pad = ends - lengths
+        prefix_pad = np.zeros(cps.size, dtype=bool)
+        prefix_pad[
+            (
+                doc_starts_pad[:, None] + np.arange(start_pad)
+            ).ravel()
+        ] = True
+        w_starts, w_lens = _word_runs(cps, extra_break=prefix_pad)
         sel = w_lens >= min_size
         w_starts, w_lens = w_starts[sel], w_lens[sel]
         w_doc = np.searchsorted(ends, w_starts, side="right")
@@ -210,6 +206,27 @@ def tokenize_batch_frames(
 
 
 _DELIM_CPS = np.array(sorted(ord(c) for c in DELIMITERS), dtype=np.uint32)
+
+
+def _word_runs(
+    cps: np.ndarray, extra_break: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of maximal non-delimiter runs in a codepoint
+    array. extra_break marks additional positions that break runs (e.g.
+    synthetic per-doc padding)."""
+    is_break = np.isin(cps, _DELIM_CPS)
+    if extra_break is not None:
+        is_break |= extra_break
+    keep = ~is_break
+    prev_break = np.empty(cps.size, dtype=bool)
+    prev_break[0] = True
+    prev_break[1:] = is_break[:-1]
+    next_break = np.empty(cps.size, dtype=bool)
+    next_break[-1] = True
+    next_break[:-1] = is_break[1:]
+    starts = np.flatnonzero(keep & prev_break)
+    lens = np.flatnonzero(keep & next_break) - starts + 1
+    return starts, lens
 
 
 def _strings_of_runs(cps: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:

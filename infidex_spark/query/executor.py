@@ -340,7 +340,7 @@ class TermPostings:
     __slots__ = (
         "term", "df", "block_last_doc", "block_max_w",
         "_payload", "_weights", "_n", "_block_offsets",
-        "_doc_ids", "_tfs", "_blocks",
+        "_doc_ids", "_tfs", "_blocks", "_posmap",
     )
 
     def __init__(
@@ -371,6 +371,7 @@ class TermPostings:
         self._doc_ids = doc_ids
         self._tfs = tfs
         self._blocks: int | None = None  # cumulative lazily-decoded blocks
+        self._posmap: np.ndarray | None = None  # cached dense position map
 
     @property
     def n_docs(self) -> int:
@@ -381,6 +382,7 @@ class TermPostings:
         self._doc_ids = doc_ids
         self._tfs = w.astype(np.float32)
         self._blocks = None
+        self._posmap = None
 
     @property
     def doc_ids(self) -> np.ndarray:
@@ -438,8 +440,20 @@ class TermPostings:
             base = int(ids[0])
             rng = int(ids[-1]) - base + 1
             if rng <= 8_000_000 and ids.size * 8 >= rng:
-                pm = np.full(rng, -1, dtype=np.int32)
-                pm[ids - base] = np.arange(ids.size, dtype=np.int32)
+                cached = self._posmap
+                if cached is not None:
+                    pm = cached
+                else:
+                    pm = np.full(rng, -1, dtype=np.int32)
+                    pm[ids - base] = np.arange(ids.size, dtype=np.int32)
+                    if rng <= 2_000_000:
+                        # memoize small maps (<= 8 MB): hot-term
+                        # conjunctions probe the same TermPostings every
+                        # query, and the scatter build was the dominant
+                        # warm cost of each call; bigger maps stay
+                        # ephemeral so a wide corpus cannot pin
+                        # tens of MB per hot term
+                        self._posmap = pm
                 i0 = int(np.searchsorted(docs, base))
                 i1 = int(np.searchsorted(docs, base + rng))
                 hit = np.zeros(docs.size, dtype=bool)

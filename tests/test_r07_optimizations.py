@@ -325,3 +325,80 @@ def test_champions_sidecar_plan_matches_join_plan(tmp_path, spark, reference_doc
     )
     assert dict(a.dtypes) == dict(b.dtypes)
     assert a.equals(b)
+
+
+def test_run_word_extraction_keeps_literal_pad_chars():
+    """A literal pad character inside a text is word content (the regex
+    split only breaks on delimiters); only the synthetic per-doc prefix
+    pads may break runs."""
+    import pandas as pd
+
+    from infidex_spark.build.tokenizer import tokenize_batch
+    from infidex_spark.kernel.tokenize import START_PAD, index_tokens
+
+    texts = [f"x{START_PAD}y mixed", f"{START_PAD} alone", "plain words"]
+    got = tokenize_batch(pd.Series(texts), sizes=(3,), start_pad=2, prenormalized=True)
+    got_set = {(int(r.doc_idx), r.term, int(r.occ)) for r in got.itertuples()}
+    from collections import Counter
+
+    ref_set = set()
+    for di, t in enumerate(texts):
+        cnt = Counter(term for term, _ in index_tokens(t, sizes=(3,), start_pad=2))
+        ref_set |= {(di, term, occ) for term, occ in cnt.items()}
+    assert got_set == ref_set
+
+
+def test_extract_factories_match_legacy_split():
+    """_word_pairs_extract / _prefix_pairs_extract == the former
+    regex-split implementations on delimiter-heavy and pad-bearing
+    texts (rows compared as sets / sorted frames)."""
+    import pandas as pd
+
+    from infidex_spark.build.indexer import (
+        _prefix_pairs_extract,
+        _word_pairs_extract,
+    )
+    from infidex_spark.build.tokenizer import _DELIM_SPLIT
+    from infidex_spark.kernel.normalize import normalize_series
+
+    texts = [
+        "quick brown fox", "", "  spaces  and-hyphens: x yz wxyz",
+        "a b c d e", "word " * 30 + "tail", "příliš žluťoučký kůň",
+        "ÿ edge ￿ literal pad char in text", "x￿y mixed pad word",
+        "dup dup dup words words", "a-b.c:d", "singleword",
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.int64) + 50, "text": texts}
+    )
+    norm = normalize_series(pdf["text"].fillna("")).str.lower()
+    words = norm.str.split(_DELIM_SPLIT, regex=True).explode()
+    words = words[words.str.len() >= 1]
+    ids = pdf["doc_id"].to_numpy()
+    legacy_pairs = set(
+        zip(
+            ids[words.index.to_numpy(np.int64)].tolist(),
+            words.tolist(),
+        )
+    )
+    got = pd.concat(
+        list(_word_pairs_extract(None)(iter([pdf]))), ignore_index=True
+    )
+    assert set(zip(got["doc_id"].tolist(), got["word"].tolist())) == legacy_pairs
+    assert len(got) == len(legacy_pairs)  # deduped exactly once
+    # prefix frames: per-(prefix, doc) aggregates must be internally
+    # consistent with the word stream (spot-check counts for 1-char)
+    frames = list(_prefix_pairs_extract(None)(iter([pdf])))
+    one = pd.concat(
+        [f.assign(prefix=f["prefix"].astype(str)) for f in frames],
+        ignore_index=True,
+    )
+    p1 = one[one["prefix"].str.len() == 1]
+    from collections import Counter
+
+    ref = Counter()
+    for d, w in zip(ids[words.index.to_numpy(np.int64)], words):
+        ref[(d, w[0])] += 1
+    got1 = {
+        (r.doc_id, r.prefix): r.n_ws for r in p1.itertuples()
+    }
+    assert got1 == dict(ref)
