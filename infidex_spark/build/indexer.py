@@ -817,32 +817,6 @@ def build_index(
         )
         # df contribution per (term, doc): occ - successful accumulates
         tokens = tokens.withColumn("dfc", F.col("occ") - F.col("tf") + F.lit(1))
-    agg_row = docs.agg(
-        F.count("*").alias("n"), F.max("doc_id").alias("mx"),
-        F.min("doc_id").alias("mn"),
-    ).collect()[0]
-    n_docs_total = agg_row["n"]
-    # id-space contract (ADVICE r3 #4): internal doc ids must be
-    # non-negative and near-dense — the short-query aggregation and the
-    # sq_topk sidecar allocate O(max_id) arrays. Delta segments
-    # legitimately carry a global base offset (min > 0), so density is
-    # advisory: negative ids are an error, a grossly sparse space (max
-    # >> count, e.g. hash-valued ids) gets a loud warning (the query
-    # side additionally falls back to sort-based aggregation for such
-    # ids rather than allocating O(max_id)).
-    if n_docs_total and agg_row["mn"] < 0:
-        raise ValueError(f"doc_id must be >= 0: got min={agg_row['mn']}")
-    if n_docs_total and agg_row["mx"] >= max(16 * n_docs_total, 1_000_000):
-        import warnings
-
-        warnings.warn(
-            f"doc_id space is sparse (max={agg_row['mx']}, "
-            f"count={n_docs_total}): dense per-id structures degrade to "
-            "sort-based paths; prefer dense [base, base+N) ids",
-            RuntimeWarning,
-            stacklevel=2,
-        )
-
     # ---- docs-derived aux jobs submit BEFORE the tokens materialization:
     # _build_prefixes and _build_word_family read only the persisted docs
     # input, so their stages overlap the tokenize pass. At low
@@ -882,6 +856,17 @@ def build_index(
         )
         if aux
         else None
+    )
+    # input count/min/max runs OFF the chain (it only scans the
+    # persisted input) and resolves after the term_df step — the serial
+    # collect used to sit between tokenize submission and the aux
+    # submits, a fixed chain cost
+    fut_agg = pool.submit(
+        _timed, "input_agg",
+        lambda: docs.agg(
+            F.count("*").alias("n"), F.max("doc_id").alias("mx"),
+            F.min("doc_id").alias("mn"),
+        ).collect()[0],
     )
 
     spark.sparkContext.setJobDescription("build:tokenize")
@@ -928,10 +913,17 @@ def build_index(
         pq.ParquetFile(p).metadata.num_rows
         for p in _glob.glob(os.path.join(stop_dir, "*.parquet"))
     )
-    stop_sample = (
-        [r.term for r in stop_tdf.orderBy("term").limit(100).collect()]
+    # bounded manifest sample: collected OFF the chain (only the
+    # manifest, written at build end, reads it)
+    fut_stop_sample = (
+        pool.submit(
+            _timed, "stop_sample",
+            lambda: [
+                r.term for r in stop_tdf.orderBy("term").limit(100).collect()
+            ],
+        )
         if n_stop
-        else []
+        else None
     )
     if fused_mode:
         live = (
@@ -944,6 +936,29 @@ def build_index(
     else:
         live = tokens
     _mark("term_df_stop")
+
+    agg_row = fut_agg.result()
+    n_docs_total = agg_row["n"]
+    # id-space contract (ADVICE r3 #4): internal doc ids must be
+    # non-negative and near-dense — the short-query aggregation and the
+    # sq_topk sidecar allocate O(max_id) arrays. Delta segments
+    # legitimately carry a global base offset (min > 0), so density is
+    # advisory: negative ids are an error, a grossly sparse space (max
+    # >> count, e.g. hash-valued ids) gets a loud warning (the query
+    # side additionally falls back to sort-based aggregation for such
+    # ids rather than allocating O(max_id)).
+    if n_docs_total and agg_row["mn"] < 0:
+        raise ValueError(f"doc_id must be >= 0: got min={agg_row['mn']}")
+    if n_docs_total and agg_row["mx"] >= max(16 * n_docs_total, 1_000_000):
+        import warnings
+
+        warnings.warn(
+            f"doc_id space is sparse (max={agg_row['mx']}, "
+            f"count={n_docs_total}): dense per-id structures degrade to "
+            "sort-based paths; prefer dense [base, base+N) ids",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # skew head for the salted-agg alternative: threshold scales with N
     # (fixed floor at small corpora keeps behavior identical there) and
@@ -1341,7 +1356,9 @@ def build_index(
         "tf_cap": cap,
         "stop_term_limit": stop_term_limit,
         "n_stop_terms": int(n_stop),
-        "stop_terms_sample": stop_sample,
+        "stop_terms_sample": (
+            fut_stop_sample.result() if fut_stop_sample is not None else []
+        ),
         "index_sizes": list(sizes),
         "start_pad": start_pad,
         "n_buckets": n_buckets,
