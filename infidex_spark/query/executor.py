@@ -469,36 +469,67 @@ class TermPostings:
     def _lookup_blocks(
         self, docs: np.ndarray, bidx: np.ndarray, n_valid: int, u: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
-        from infidex_spark.build.codec import decode_posting_blocks
+        """Decode only the touched block runs, then probe.
+
+        All runs decode in ONE varint pass (concatenated slices +
+        segmented cumsum rebase, the same batching as the build-side
+        merge): a cold multi-term rerank used to issue hundreds of
+        per-run decode calls whose fixed numpy overhead dominated the
+        stage-1 cold. Blocks are doc-ordered, so the concatenated
+        decoded ids stay globally ascending and ONE searchsorted over
+        all valid probes replaces the per-run probe slices — a probe
+        whose own block was not decoded cannot equal an id from another
+        block (block doc ranges are disjoint), so equality is exact."""
+        from infidex_spark.build.codec import decode_varints
 
         hit = np.zeros(docs.size, dtype=bool)
-        tfv = np.zeros(docs.size, dtype=np.float32)
         if u.size == 0:
-            return hit, tfv[hit]
+            return hit, np.zeros(0, dtype=np.float32)
         # contiguous runs of touched blocks; bidx is monotone (docs are
         # sorted), so each run maps to one contiguous probe slice
         run_starts = np.flatnonzero(np.diff(u) > 1) + 1
         starts = np.concatenate(([0], run_starts))
         ends = np.concatenate((run_starts, [u.size]))
-        vdocs = docs[:n_valid]
+        bo = self._block_offsets
+        bl = self.block_last_doc
+        payload = self._payload or b""
+        nblocks = len(bo)
+        w_all = np.frombuffer(self._weights or b"", dtype=np.uint8)[: self._n]
+        p_slices: list[bytes] = []
+        w_parts: list[np.ndarray] = []
+        counts_l: list[int] = []
+        bases_l: list[int] = []
         for s, e in zip(starts.tolist(), ends.tolist()):
             b0, b1 = int(u[s]), int(u[e - 1]) + 1
-            ids_r, w_r = decode_posting_blocks(
-                self._payload or b"", self._weights or b"", self._n,
-                self._block_offsets, self.block_last_doc, b0, b1,
-            )
-            if ids_r.size == 0:
-                continue
-            i0 = int(np.searchsorted(bidx[:n_valid], b0, "left"))
-            i1 = int(np.searchsorted(bidx[:n_valid], b1, "left"))
-            d = vdocs[i0:i1]
-            pos = np.searchsorted(ids_r, d)
-            pos_c = np.clip(pos, 0, ids_r.size - 1)
-            h = ids_r[pos_c] == d
-            idx = i0 + np.flatnonzero(h)
-            hit[idx] = True
-            tfv[idx] = w_r[pos_c[h]]
-        return hit, tfv[hit]
+            p0 = int(bo[b0])
+            p1 = int(bo[b1]) if b1 < nblocks else len(payload)
+            ps = b0 * BLOCK_SIZE
+            pe = min(b1 * BLOCK_SIZE, self._n)
+            p_slices.append(payload[p0:p1])
+            w_parts.append(w_all[ps:pe])
+            counts_l.append(pe - ps)
+            bases_l.append(int(bl[b0 - 1]) if b0 > 0 else 0)
+        counts = np.asarray(counts_l, dtype=np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return hit, np.zeros(0, dtype=np.float32)
+        gaps = decode_varints(b"".join(p_slices), total)
+        cum = np.cumsum(gaps)
+        r_ends = np.cumsum(counts)
+        r_starts = r_ends - counts
+        prev = np.zeros(counts.size, dtype=np.uint64)
+        nzr = r_starts > 0
+        prev[nzr] = cum[r_starts[nzr] - 1]
+        ids = (cum - np.repeat(prev, counts)).view(np.int64) + np.repeat(
+            np.asarray(bases_l, dtype=np.int64), counts
+        )
+        w_r = np.concatenate(w_parts) if len(w_parts) > 1 else w_parts[0]
+        vdocs = docs[:n_valid]
+        pos = np.searchsorted(ids, vdocs)
+        pos_c = np.clip(pos, 0, ids.size - 1)
+        h = ids[pos_c] == vdocs
+        hit[:n_valid] = h
+        return hit, w_r[pos_c[h]].astype(np.float32)
 
 
 class CompositeTermPostings:

@@ -402,3 +402,62 @@ def test_extract_factories_match_legacy_split():
         (r.doc_id, r.prefix): r.n_ws for r in p1.itertuples()
     }
     assert got1 == dict(ref)
+
+
+def test_lookup_blocks_batched_matches_full_decode():
+    """Lazy block-run lookup (batched single-pass decode) == probing the
+    fully decoded list, across probe patterns that touch disjoint runs,
+    boundaries, and out-of-range ids."""
+    from infidex_spark.build.codec import encode_postings
+    from infidex_spark.query.executor import TermPostings
+
+    rng = np.random.default_rng(21)
+    ids = np.sort(rng.choice(5_000_000, 40_000, replace=False)).astype(
+        np.int64
+    )
+    tf = rng.integers(1, 256, ids.size).astype(np.uint8)
+    e = encode_postings(ids, tf)
+
+    def fresh() -> TermPostings:
+        return TermPostings(
+            term="t",
+            df=ids.size,
+            payload=e["payload"],
+            weights=e["weights"],
+            n_docs=ids.size,
+            block_last_doc=np.asarray(e["block_last_doc"]),
+            block_max_w=np.asarray(e["block_max_w"]),
+            block_offsets=np.asarray(e["block_offsets"]),
+        )
+
+    # clustered probes (a few narrow doc ranges + misses) stay under the
+    # 25%-of-blocks gate, so they exercise the lazy block-run path;
+    # scattered probes legitimately switch to the full decode
+    clusters = [
+        np.sort(
+            np.concatenate(
+                [
+                    ids[100:180],
+                    ids[20_000:20_060] + 1,  # near-misses inside a run
+                    ids[39_900:39_950],
+                    np.array([0, 5_099_999]),
+                ]
+            )
+        ).astype(np.int64),
+        np.sort(np.concatenate([ids[:5], ids[-5:]])).astype(np.int64),
+    ]
+    for probe, expect_lazy in [
+        (clusters[0], True),
+        (clusters[1], True),
+        (np.sort(rng.choice(5_100_000, 200, replace=False)).astype(np.int64), False),
+        (ids[::97].copy(), False),  # touches nearly every block
+        (ids[::997].copy(), True),  # 41 probes, 41 runs: stays lazy
+    ]:
+        tp = fresh()
+        hit, tfs = tp.lookup(probe)
+        assert tp.is_decoded != expect_lazy
+        pos = np.searchsorted(ids, probe)
+        pos_c = np.clip(pos, 0, ids.size - 1)
+        ref_hit = ids[pos_c] == probe
+        assert np.array_equal(hit, ref_hit)
+        assert np.array_equal(tfs, tf[pos_c[ref_hit]].astype(np.float32))
